@@ -1,0 +1,224 @@
+"""Document-level entry points.
+
+``pdf_to_text`` reproduces the reference's flagship function
+(/root/reference/src/lib.rs:21-37) — THE byte-identity target; the
+markdown/csv variants mirror lib.rs:40-75 and the tsv/aligned/raw
+formats mirror the CLI branches (main.rs:116-143).
+
+:func:`extract_document` is the Spark-row semantic: magic-byte
+dispatch (``%PDF-`` → PDF path, else HTML boilerplate strip), errors
+captured as row-level values (never raised — a 10^12-doc job must not
+die on one malformed document), char-offset spans over the rendered
+text, per-document page and element counts for lineage.
+"""
+
+from __future__ import annotations
+
+from pdf_parser_spark.engine.content import RUST_WS
+from pdf_parser_spark.engine.document import Document
+from pdf_parser_spark.engine.errors import PdfError
+from pdf_parser_spark.engine.layout import HEADING, PARAGRAPH, TABLE, classify_spans
+from pdf_parser_spark.engine.render import elements_to_markdown, elements_to_txt
+from pdf_parser_spark.engine.table import Table
+
+
+def pdf_to_text(data: bytes) -> str:
+    """Layout-aware plain text; pages joined with '\\n' (lib.rs:21-37)."""
+    doc = Document.parse(data)
+    out = []
+    for page_idx in range(doc.page_count()):
+        spans = doc.extract_page_text(page_idx)
+        elements = classify_spans(spans)
+        if out:
+            out.append("\n")
+        out.append(elements_to_txt(elements))
+    return "".join(out)
+
+
+def pdf_to_markdown(data: bytes) -> str:
+    doc = Document.parse(data)
+    out = []
+    for page_idx in range(doc.page_count()):
+        spans = doc.extract_page_text(page_idx)
+        elements = classify_spans(spans)
+        if out:
+            out.append("\n")
+        out.append(elements_to_markdown(elements))
+    return "".join(out)
+
+
+def pdf_to_csv(data: bytes) -> str:
+    doc = Document.parse(data)
+    out = []
+    for page_idx in range(doc.page_count()):
+        spans = doc.extract_page_text(page_idx)
+        table = Table.from_spans(spans)
+        if out:
+            out.append("\n")
+        out.append(table.to_csv())
+    return "".join(out)
+
+
+def pdf_to_tsv(data: bytes) -> str:
+    """CLI ``--tsv`` applied to every page, '\\n'-joined (main.rs:139)."""
+    doc = Document.parse(data)
+    out = []
+    for page_idx in range(doc.page_count()):
+        table = Table.from_spans(doc.extract_page_text(page_idx))
+        if out:
+            out.append("\n")
+        out.append(table.to_tsv())
+    return "".join(out)
+
+
+def pdf_to_aligned_text(data: bytes) -> str:
+    """CLI ``--text`` (main.rs:140)."""
+    doc = Document.parse(data)
+    out = []
+    for page_idx in range(doc.page_count()):
+        table = Table.from_spans(doc.extract_page_text(page_idx))
+        if out:
+            out.append("\n")
+        out.append(table.to_text())
+    return "".join(out)
+
+
+def _fmt_f64(x: float) -> str:
+    """Rust f64 Display: shortest round-trip repr, integral values
+    without '.0'."""
+    s = repr(x)
+    return s[:-2] if s.endswith(".0") else s
+
+
+def pdf_to_raw_spans(data: bytes) -> str:
+    """CLI ``--raw`` debug format ``[x, y] (sizept): text``
+    (main.rs:106-115) — including the reference's literal,
+    un-interpolated ``--- Page {} ---`` separator."""
+    doc = Document.parse(data)
+    out = []
+    for page_idx in range(doc.page_count()):
+        spans = doc.extract_page_text(page_idx)
+        if out:
+            out.append("\n--- Page {} ---\n")
+        for s in spans:
+            out.append(f"[{s.x:.1f}, {s.y:.1f}] ({_fmt_f64(s.font_size)}pt): {s.text}\n")
+    return "".join(out)
+
+
+def pdf_page_count(data: bytes) -> int:
+    return Document.parse(data).page_count()
+
+
+# -- structured per-row extraction for the Spark layer ---------------------
+
+_FORMATS = {
+    "txt": pdf_to_text,
+    "md": pdf_to_markdown,
+    "csv": pdf_to_csv,
+    "tsv": pdf_to_tsv,
+    "text": pdf_to_aligned_text,
+    "raw": pdf_to_raw_spans,
+}
+
+
+def _txt_with_spans(doc: Document) -> tuple[str, list[tuple[int, int, str]], int]:
+    """Render txt while tracking char-offset spans per element.
+
+    Returns (text, [(start, end, kind)], n_elements) with text strictly
+    equal to :func:`pdf_to_text`'s output (asserted in tests).  Kinds:
+    ``heading1..heading3``, ``paragraph``, ``table``.
+    """
+    n_pages = doc.page_count()
+    pieces: list[str] = []
+    spans_out: list[tuple[int, int, str]] = []
+    n_elements = 0
+    offset = 0
+
+    for page_idx in range(n_pages):
+        elements = classify_spans(doc.extract_page_text(page_idx))
+        page_parts: list[str] = []
+        page_spans: list[tuple[int, int, str]] = []
+        pos = 0
+        for el in elements:
+            if el.kind == HEADING:
+                body, kind = el.text, f"heading{el.level}"
+            elif el.kind == PARAGRAPH:
+                body, kind = el.text, "paragraph"
+            else:
+                body, kind = el.table.to_text(), "table"
+            page_spans.append((pos, pos + len(body), kind))
+            page_parts.append(body)
+            page_parts.append("\n\n")
+            pos += len(body) + 2
+            n_elements += 1
+        page_text = "".join(page_parts).rstrip(RUST_WS)
+        if page_text:
+            page_text += "\n"
+        if pieces:
+            pieces.append("\n")
+            offset += 1
+        # clamp spans to the trimmed page text
+        for start, end, kind in page_spans:
+            if start >= len(page_text):
+                continue
+            spans_out.append((offset + start, offset + min(end, len(page_text)), kind))
+        pieces.append(page_text)
+        offset += len(page_text)
+
+    return "".join(pieces), spans_out, n_elements
+
+
+def extract_document(data: bytes | None, fmt: str = "txt") -> dict:
+    """One Spark row in, one structured result out; never raises.
+
+    Dispatches on magic bytes: ``%PDF-`` → PDF engine (document.rs:36),
+    anything else → HTML boilerplate stripper.  Errors are values.
+    """
+    result = {
+        "text": "",
+        "spans": [],
+        "n_pages": 0,
+        "n_elements": 0,
+        "doc_type": "unknown",
+        "error": None,
+        "error_kind": None,
+    }
+    if data is None or len(data) == 0:
+        result["error"] = "empty document"
+        result["error_kind"] = "empty"
+        return result
+
+    if bytes(data[:5]) == b"%PDF-":
+        result["doc_type"] = "pdf"
+        try:
+            doc = Document.parse(bytes(data))
+            if fmt == "txt":
+                text, spans, n_elements = _txt_with_spans(doc)
+                result["text"] = text
+                result["spans"] = spans
+                result["n_elements"] = n_elements
+            else:
+                result["text"] = _FORMATS[fmt](bytes(data))
+            result["n_pages"] = doc.page_count()
+        except PdfError as e:
+            result["error"] = str(e)
+            result["error_kind"] = e.kind
+        except RecursionError:
+            result["error"] = "page tree recursion limit"
+            result["error_kind"] = "recursion"
+        return result
+
+    # HTML path (no reference oracle; pinned by our own goldens)
+    result["doc_type"] = "html"
+    try:
+        from pdf_parser_spark.html.strip import extract_html
+
+        text, spans = extract_html(bytes(data))
+        result["text"] = text
+        result["spans"] = spans
+        result["n_pages"] = 1
+        result["n_elements"] = len(spans)
+    except Exception as e:  # noqa: BLE001 — row-level error, never task death
+        result["error"] = str(e)
+        result["error_kind"] = "html_parse"
+    return result

@@ -1,0 +1,556 @@
+"""Content-stream interpreter: operators → positioned text spans.
+
+Reimplements the text-operator semantics of the reference
+(/root/reference/src/content/parser.rs): the operand/operator loop
+(:97-134), graphics-state stack (q/Q), text matrices
+(BT/ET/Td/TD/Tm/T*), show operators (Tj/TJ/'/\") with the fixed
+half-em advance estimate (:627, :698 — 0.5 * font_size per *byte*,
+load-bearing for byte-identity), TJ flush at ``|adjust| > 200``
+(:635), whitespace-only spans kept as single-space word-boundary
+markers (:726-735), and same-line span merging (:137-222).
+"""
+
+from __future__ import annotations
+
+from pdf_parser_spark.engine.errors import ParseError
+from pdf_parser_spark.engine.fonts import FontEncoding
+from pdf_parser_spark.engine.objects import Name
+
+# Exactly the char set of Rust's str::trim (Unicode White_Space),
+# which differs from Python's str.strip() default (Python also strips
+# \x1c-\x1f).  Used everywhere the reference calls .trim().
+RUST_WS = (
+    "\t\n\x0b\x0c\r \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+
+_WS_BYTES = frozenset(b" \t\n\r\x0c\x00")
+_DIGITS_DOT = frozenset(b"0123456789.")
+_HEX = frozenset(b"0123456789abcdefABCDEF")
+_NAME_CHARS = frozenset(
+    b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_-+."
+)
+_ALPHA = frozenset(b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+_OCTAL = frozenset(b"01234567")
+_HEXVAL = {c: int(chr(c), 16) for c in _HEX}
+
+IDENTITY_MATRIX = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+class TextSpan:
+    """Positioned text fragment in page space
+    (reference: content/parser.rs:7-13)."""
+
+    __slots__ = ("text", "x", "y", "font_size", "font_name")
+
+    def __init__(self, text, x, y, font_size, font_name):
+        self.text = text
+        self.x = x
+        self.y = y
+        self.font_size = font_size
+        self.font_name = font_name
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return (
+            f"TextSpan({self.text!r}, x={self.x}, y={self.y}, "
+            f"size={self.font_size}, font={self.font_name!r})"
+        )
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, TextSpan)
+            and self.text == other.text
+            and self.x == other.x
+            and self.y == other.y
+            and self.font_size == other.font_size
+            and self.font_name == other.font_name
+        )
+
+
+class _State:
+    """Graphics state (reference: content/parser.rs:17-47)."""
+
+    __slots__ = (
+        "text_matrix",
+        "line_matrix",
+        "font_size",
+        "font_name",
+        "leading",
+        "char_spacing",
+        "word_spacing",
+    )
+
+    def __init__(self):
+        self.text_matrix = list(IDENTITY_MATRIX)
+        self.line_matrix = list(IDENTITY_MATRIX)
+        self.font_size = 12.0
+        self.font_name = None
+        self.leading = 0.0
+        self.char_spacing = 0.0
+        self.word_spacing = 0.0
+
+    def copy(self):
+        c = _State.__new__(_State)
+        c.text_matrix = self.text_matrix[:]
+        c.line_matrix = self.line_matrix[:]
+        c.font_size = self.font_size
+        c.font_name = self.font_name
+        c.leading = self.leading
+        c.char_spacing = self.char_spacing
+        c.word_spacing = self.word_spacing
+        return c
+
+
+class ContentParser:
+    def __init__(self, data: bytes, font_encodings: dict[str, FontEncoding] | None = None):
+        self.data = data
+        self.pos = 0
+        self.state = _State()
+        self.state_stack: list[_State] = []
+        self.spans: list[TextSpan] = []
+        self.font_encodings = font_encodings or {}
+
+    # -- main loop ------------------------------------------------------
+
+    def parse(self) -> list[TextSpan]:
+        data, n = self.data, len(self.data)
+        while self.pos < n:
+            self._skip_ws()
+            if self.pos >= n:
+                break
+            operands: list = []
+            while True:
+                self._skip_ws()
+                if self.pos >= n:
+                    break
+                b = data[self.pos]
+                if b in _ALPHA or b in (0x27, 0x22):  # operator, ' or "
+                    op = self._read_operator()
+                    self._execute(op, operands)
+                    break
+                before = self.pos
+                operand = self._parse_operand()
+                if operand is not None:
+                    operands.append(operand)
+                else:
+                    # Divergence from the reference (which would spin
+                    # forever on a stray ']'/'>' at top level,
+                    # content/parser.rs:295): ensure forward progress.
+                    if self.pos == before:
+                        self.pos += 1
+                    break
+        return self._merge_adjacent_spans()
+
+    # -- span merging (content/parser.rs:137-222) ------------------------
+
+    def _merge_adjacent_spans(self) -> list[TextSpan]:
+        if not self.spans:
+            return []
+
+        import functools
+
+        def cmp(a: TextSpan, b: TextSpan) -> int:
+            # Same tolerance-based comparator as the reference
+            # (content/parser.rs:144-152): y descending unless within
+            # 0.3 * a.font_size, then x ascending.
+            y_diff = b.y - a.y
+            if abs(y_diff) > a.font_size * 0.3:
+                return 1 if y_diff > 0.0 else (-1 if y_diff < 0.0 else 0)
+            if a.x < b.x:
+                return -1
+            if a.x > b.x:
+                return 1
+            return 0
+
+        sorted_spans = sorted(self.spans, key=functools.cmp_to_key(cmp))
+
+        merged: list[TextSpan] = []
+        last_raw_x = 0.0
+        last_raw_char_count = 0
+
+        for span in sorted_spans:
+            if merged:
+                last = merged[-1]
+                y_tolerance = last.font_size * 0.3
+                same_line = abs(span.y - last.y) <= y_tolerance
+                if same_line and last.font_name == span.font_name:
+                    char_width = last.font_size * 0.5
+                    per_char_mode = last_raw_char_count <= 1 and len(span.text) <= 1
+                    expected_end = last_raw_x + last_raw_char_count * char_width
+                    gap = span.x - expected_end
+                    if per_char_mode:
+                        if -char_width * 3.0 < gap < char_width * 3.0:
+                            last.text += span.text
+                        else:
+                            merged.append(
+                                TextSpan(span.text, span.x, span.y, span.font_size, span.font_name)
+                            )
+                    else:
+                        if -char_width * 2.0 < gap < char_width * 0.8:
+                            last.text += span.text
+                        elif gap < char_width * 2.0:
+                            last.text += " " + span.text
+                        else:
+                            merged.append(
+                                TextSpan(span.text, span.x, span.y, span.font_size, span.font_name)
+                            )
+                    last_raw_x = span.x
+                    last_raw_char_count = len(span.text)
+                else:
+                    last_raw_x = span.x
+                    last_raw_char_count = len(span.text)
+                    merged.append(span)
+            else:
+                last_raw_x = span.x
+                last_raw_char_count = len(span.text)
+                merged.append(span)
+
+        return merged
+
+    # -- lexical helpers (content streams are lexed independently of the
+    #    object lexer; the rules differ subtly — see each method) --------
+
+    def _skip_ws(self) -> None:
+        data, n = self.data, len(self.data)
+        pos = self.pos
+        while pos < n:
+            b = data[pos]
+            if b in _WS_BYTES:
+                pos += 1
+            elif b == 0x25:  # % comment: to LF only (parser.rs:229-233)
+                while pos < n and data[pos] != 0x0A:
+                    pos += 1
+            else:
+                break
+        self.pos = pos
+
+    def _read_operator(self) -> str:
+        data, n = self.data, len(self.data)
+        start = pos = self.pos
+        while pos < n:
+            b = data[pos]
+            if b in _ALPHA or b in (0x2A, 0x27, 0x22):  # alpha * ' "
+                pos += 1
+            else:
+                break
+        self.pos = pos
+        return data[start:pos].decode("latin-1")
+
+    def _parse_operand(self):
+        """One operand or ``None`` (reference: content/parser.rs:252-304).
+
+        Returns float / bytes / Name / list, mirroring the reference's
+        Operand enum with native Python values.
+        """
+        self._skip_ws()
+        data, n = self.data, len(self.data)
+        if self.pos >= n:
+            return None
+        b = data[self.pos]
+        if b in _DIGITS_DOT or b in (0x2B, 0x2D):
+            return self._read_number()
+        if b == 0x28:  # (
+            return self._read_string()
+        if b == 0x3C:  # <
+            self.pos += 1
+            if self.pos < n and data[self.pos] == 0x3C:
+                self._skip_dict()
+                return None
+            return self._read_hex_string()
+        if b == 0x2F:  # /
+            return self._read_name()
+        if b == 0x5B:  # [
+            return self._read_array()
+        if b in (0x5D, 0x3E):  # ] or > — delimiter, not an operand
+            return None
+        if b in _ALPHA:
+            return None
+        self.pos += 1  # unknown byte — skip
+        return None
+
+    def _read_number(self) -> float:
+        data, n = self.data, len(self.data)
+        start = pos = self.pos
+        if pos < n and data[pos] in (0x2B, 0x2D):
+            pos += 1
+        # NOTE: multiple '.' are consumed here and rejected by the float
+        # parse, exactly like the reference (content/parser.rs:315-331).
+        while pos < n and data[pos] in _DIGITS_DOT:
+            pos += 1
+        self.pos = pos
+        text = data[start:pos]
+        try:
+            return float(text)
+        except ValueError:
+            raise ParseError(start, f"Invalid number: {text.decode('latin-1')}") from None
+
+    def _read_string(self) -> bytes:
+        # Unlike the object lexer, EOF inside a string returns the
+        # partial content instead of erroring (parser.rs:339).
+        data, n = self.data, len(self.data)
+        pos = self.pos + 1  # '('
+        out = bytearray()
+        depth = 1
+        while pos < n and depth > 0:
+            b = data[pos]
+            pos += 1
+            if b == 0x28:
+                depth += 1
+                out.append(b)
+            elif b == 0x29:
+                depth -= 1
+                if depth > 0:
+                    out.append(b)
+            elif b == 0x5C and pos < n:
+                e = data[pos]
+                pos += 1
+                if e == 0x6E:
+                    out.append(0x0A)
+                elif e == 0x72:
+                    out.append(0x0D)
+                elif e == 0x74:
+                    out.append(0x09)
+                elif e == 0x62:
+                    out.append(0x08)
+                elif e == 0x66:
+                    out.append(0x0C)
+                elif e in (0x28, 0x29, 0x5C):
+                    out.append(e)
+                elif e in _OCTAL:
+                    # u8 arithmetic with wrapping, like the reference's
+                    # `val * 8 + d` on u8 (parser.rs:368-374)
+                    val = e - 0x30
+                    for _ in range(2):
+                        if pos < n and data[pos] in _OCTAL:
+                            val = (val * 8 + (data[pos] - 0x30)) & 0xFF
+                            pos += 1
+                        else:
+                            break
+                    out.append(val)
+                elif e in (0x0D, 0x0A):
+                    if e == 0x0D and pos < n and data[pos] == 0x0A:
+                        pos += 1
+                else:
+                    out.append(e)
+            else:
+                out.append(b)
+        self.pos = pos
+        return bytes(out)
+
+    def _read_hex_string(self) -> bytes:
+        # Invalid chars are silently skipped here (parser.rs:405-410),
+        # unlike the object lexer which errors.
+        data, n = self.data, len(self.data)
+        pos = self.pos
+        nibbles = bytearray()
+        while pos < n:
+            b = data[pos]
+            pos += 1
+            if b == 0x3E:
+                break
+            if b in _HEX:
+                nibbles.append(b)
+        self.pos = pos
+        if len(nibbles) % 2 == 1:
+            nibbles.append(0x30)
+        return bytes(
+            (_HEXVAL[nibbles[i]] << 4) | _HEXVAL[nibbles[i + 1]]
+            for i in range(0, len(nibbles), 2)
+        )
+
+    def _read_name(self) -> Name:
+        # Content-stream names use a restricted charset and no #xx
+        # escapes (parser.rs:430-444) — intentionally different from
+        # the object lexer.
+        data, n = self.data, len(self.data)
+        pos = self.pos + 1  # '/'
+        start = pos
+        while pos < n and data[pos] in _NAME_CHARS:
+            pos += 1
+        self.pos = pos
+        return Name(data[start:pos].decode("latin-1"))
+
+    def _read_array(self) -> list:
+        data, n = self.data, len(self.data)
+        self.pos += 1  # '['
+        items = []
+        while True:
+            self._skip_ws()
+            if self.pos >= n or data[self.pos] == 0x5D:
+                self.pos += 1  # ']'
+                break
+            operand = self._parse_operand()
+            if operand is not None:
+                items.append(operand)
+            else:
+                self.pos += 1  # skip unknown (parser.rs:460)
+        return items
+
+    def _skip_dict(self) -> None:
+        data, n = self.data, len(self.data)
+        pos = self.pos + 1  # second '<'
+        depth = 1
+        while pos < n and depth > 0:
+            if pos + 1 < n:
+                if data[pos] == 0x3C and data[pos + 1] == 0x3C:
+                    depth += 1
+                    pos += 2
+                    continue
+                if data[pos] == 0x3E and data[pos + 1] == 0x3E:
+                    depth -= 1
+                    pos += 2
+                    continue
+            pos += 1
+        self.pos = pos
+
+    # -- operators (content/parser.rs:490-690) ----------------------------
+
+    def _execute(self, op: str, operands: list) -> None:
+        state = self.state
+        if op == "q":
+            self.state_stack.append(state.copy())
+        elif op == "Q":
+            if self.state_stack:
+                self.state = self.state_stack.pop()
+        elif op == "BT":
+            state.text_matrix = list(IDENTITY_MATRIX)
+            state.line_matrix = list(IDENTITY_MATRIX)
+        elif op == "ET":
+            pass
+        elif op == "Tf":
+            if len(operands) >= 2:
+                name = operands[-2]
+                if isinstance(name, Name):
+                    state.font_name = str(name)
+                size = operands[-1]
+                if isinstance(size, float):
+                    state.font_size = size
+        elif op == "TL":
+            if operands and isinstance(operands[-1], float):
+                state.leading = operands[-1]
+        elif op == "Tc":
+            if operands and isinstance(operands[-1], float):
+                state.char_spacing = operands[-1]
+        elif op == "Tw":
+            if operands and isinstance(operands[-1], float):
+                state.word_spacing = operands[-1]
+        elif op == "Td":
+            if (
+                len(operands) >= 2
+                and isinstance(operands[-2], float)
+                and isinstance(operands[-1], float)
+            ):
+                # += on e,f only — not a true matrix multiply; the
+                # reference does the same (parser.rs:551-554)
+                state.line_matrix[4] += operands[-2]
+                state.line_matrix[5] += operands[-1]
+                state.text_matrix = state.line_matrix[:]
+        elif op == "TD":
+            if (
+                len(operands) >= 2
+                and isinstance(operands[-2], float)
+                and isinstance(operands[-1], float)
+            ):
+                state.leading = -operands[-1]
+                state.line_matrix[4] += operands[-2]
+                state.line_matrix[5] += operands[-1]
+                state.text_matrix = state.line_matrix[:]
+        elif op == "Tm":
+            if len(operands) >= 6:
+                nums = [o for o in operands if isinstance(o, float)]
+                if len(nums) >= 6:
+                    state.text_matrix = nums[:6]
+                    state.line_matrix = state.text_matrix[:]
+        elif op == "T*":
+            state.line_matrix[5] -= state.leading
+            state.text_matrix = state.line_matrix[:]
+        elif op == "Tj":
+            if operands and isinstance(operands[-1], bytes):
+                self._add_text_span(operands[-1])
+        elif op == "TJ":
+            if operands and isinstance(operands[-1], list):
+                self._execute_tj(operands[-1])
+        elif op == "'":
+            state.line_matrix[5] -= state.leading
+            state.text_matrix = state.line_matrix[:]
+            if operands and isinstance(operands[-1], bytes):
+                self._add_text_span(operands[-1])
+        elif op == '"':
+            if len(operands) >= 3:
+                if isinstance(operands[0], float):
+                    state.word_spacing = operands[0]
+                if isinstance(operands[1], float):
+                    state.char_spacing = operands[1]
+            state.line_matrix[5] -= state.leading
+            state.text_matrix = state.line_matrix[:]
+            if operands and isinstance(operands[-1], bytes):
+                self._add_text_span(operands[-1])
+        # unknown operators are ignored
+
+    def _execute_tj(self, items: list) -> None:
+        """TJ array: strings coalesce into one pending span; numeric
+        adjustments move x and flush at ``|n| > 200`` (parser.rs:609-652)."""
+        state = self.state
+        combined = bytearray()
+        span_start_x = state.text_matrix[4]
+        span_start_y = state.text_matrix[5]
+        has_content = False
+        for item in items:
+            if isinstance(item, bytes):
+                if not has_content:
+                    span_start_x = state.text_matrix[4]
+                    span_start_y = state.text_matrix[5]
+                    has_content = True
+                combined.extend(item)
+                state.text_matrix[4] += len(item) * state.font_size * 0.5
+            elif isinstance(item, float):
+                adjust = -item / 1000.0 * state.font_size
+                if abs(item) > 200.0 and has_content:
+                    self._add_text_span_at(bytes(combined), span_start_x, span_start_y)
+                    combined.clear()
+                    has_content = False
+                state.text_matrix[4] += adjust
+        if has_content and combined:
+            self._add_text_span_at(bytes(combined), span_start_x, span_start_y)
+
+    def _add_text_span(self, raw: bytes) -> None:
+        state = self.state
+        self._add_text_span_at(raw, state.text_matrix[4], state.text_matrix[5])
+        # Fixed half-em-per-byte advance estimate (parser.rs:697-699)
+        state.text_matrix[4] += len(raw) * state.font_size * 0.5
+
+    def _add_text_span_at(self, raw: bytes, x: float, y: float) -> None:
+        state = self.state
+        encoding = (
+            self.font_encodings.get(state.font_name)
+            if state.font_name is not None
+            else None
+        )
+        if encoding is not None:
+            text = encoding.decode_bytes(raw)
+        else:
+            text = decode_default(raw)
+
+        trimmed = text.strip(RUST_WS)
+        if trimmed:
+            self.spans.append(
+                TextSpan(trimmed, x, y, state.font_size, state.font_name)
+            )
+        elif text:
+            # whitespace-only: keep a single space as a word-boundary
+            # marker (parser.rs:726-735)
+            self.spans.append(
+                TextSpan(" ", x, y, state.font_size, state.font_name)
+            )
+
+
+def decode_default(raw: bytes) -> str:
+    """No-font fallback: printable ASCII kept, >= 0xA0 Latin-1,
+    everything else a space (reference: content/parser.rs:739-753)."""
+    return raw.decode("latin-1").translate(_DEFAULT_TABLE)
+
+
+_DEFAULT_TABLE = {
+    b: (b if 32 <= b < 127 or b >= 160 else 0x20) for b in range(256)
+}

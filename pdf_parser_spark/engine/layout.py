@@ -1,0 +1,170 @@
+"""Layout classification: headings / paragraphs / tables.
+
+Reimplements /root/reference/src/extract/layout.rs: greedy y-line
+clustering (:59-90), char-count-weighted body-font mode over 0.5 pt
+quantized sizes (:93-110), x-cluster counting chained against the
+cluster START (:113-133 — deliberately different from table.py's
+detect_columns, which chains against the last ADDED x), the
+ratio/x-cluster line classifier (:136-178) and the element merger
+(:181-248: ≥2 consecutive table candidates pool into one table, a
+single candidate needs ≥4 x-clusters, paragraphs join with spaces and
+break at y-gaps > 1.5 × body size).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pdf_parser_spark.engine.content import RUST_WS, TextSpan
+from pdf_parser_spark.engine.table import Table, cluster_into_rows
+
+HEADING = "heading"
+PARAGRAPH = "paragraph"
+TABLE = "table"
+
+
+class PageElement:
+    """kind ∈ {heading, paragraph, table}; mirrors layout.rs:6-10."""
+
+    __slots__ = ("kind", "level", "text", "table")
+
+    def __init__(self, kind: str, *, level: int = 0, text: str = "", table: Table | None = None):
+        self.kind = kind
+        self.level = level
+        self.text = text
+        self.table = table
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        if self.kind == TABLE:
+            return f"PageElement(table, {len(self.table.rows)} rows)"
+        return f"PageElement({self.kind}{self.level or ''}, {self.text!r})"
+
+
+class _ClassifiedLine:
+    __slots__ = ("kind", "level", "spans", "y", "text")
+
+    def __init__(self, kind, level, spans, y, text):
+        self.kind = kind
+        self.level = level
+        self.spans = spans
+        self.y = y
+        self.text = text
+
+
+_TABLE_CANDIDATE = "table_candidate"
+
+
+def classify_spans(spans: list[TextSpan]) -> list[PageElement]:
+    """Whole-page classification pipeline (layout.rs:13-41)."""
+    spans = [s for s in spans if s.text.strip(RUST_WS)]
+    if not spans:
+        return []
+    avg_font_size = sum(s.font_size for s in spans) / len(spans)
+    row_tolerance = avg_font_size * 0.5
+    lines = cluster_into_rows(spans, row_tolerance)
+    body_font_size = compute_body_font_size(lines)
+    classified = [_classify_line(line, body_font_size) for line in lines]
+    return _merge_lines(classified, body_font_size)
+
+
+def _rust_round(x: float) -> float:
+    """f64::round — half away from zero (Python's round() is
+    banker's rounding, which would misquantize *.25 sizes)."""
+    return math.copysign(math.floor(abs(x) + 0.5), x)
+
+
+def compute_body_font_size(lines: list[list[TextSpan]]) -> float:
+    """Mode of 0.5 pt-quantized sizes weighted by char count; on tied
+    counts the LARGEST key wins (Rust max_by_key over ascending
+    BTreeMap keys returns the last maximum, layout.rs:93-110)."""
+    freq: dict[int, int] = {}
+    for line in lines:
+        for span in line:
+            key = int(_rust_round(span.font_size * 2.0))
+            freq[key] = freq.get(key, 0) + len(span.text)
+    if not freq:
+        return 12.0
+    best_key, best_count = None, -1
+    for key in sorted(freq):
+        if freq[key] >= best_count:
+            best_key, best_count = key, freq[key]
+    return best_key / 2.0
+
+
+def count_x_clusters(spans: list[TextSpan]) -> int:
+    """Gaps > 10.0 between sorted x's, chained against the cluster
+    START (layout.rs:113-133)."""
+    if not spans:
+        return 0
+    xs = sorted(s.x for s in spans)
+    clusters = 1
+    last_x = xs[0]
+    for x in xs[1:]:
+        if abs(x - last_x) > 10.0:
+            clusters += 1
+            last_x = x
+    return clusters
+
+
+def _classify_line(spans: list[TextSpan], body_font_size: float) -> _ClassifiedLine:
+    spans = sorted(spans, key=lambda s: s.x)
+    y = sum(s.y for s in spans) / len(spans)
+    max_font_size = 0.0
+    for s in spans:
+        if s.font_size > max_font_size:
+            max_font_size = s.font_size
+    x_clusters = count_x_clusters(spans)
+    text = " ".join(s.text.strip(RUST_WS) for s in spans)
+
+    ratio = max_font_size / body_font_size if body_font_size > 0.0 else 1.0
+
+    if ratio >= 1.3 and x_clusters <= 2:
+        level = 1 if ratio >= 1.8 else (2 if ratio >= 1.4 else 3)
+        kind = HEADING
+    elif x_clusters >= 3:
+        kind, level = _TABLE_CANDIDATE, 0
+    else:
+        kind, level = PARAGRAPH, 0
+    return _ClassifiedLine(kind, level, spans, y, text)
+
+
+def _merge_lines(lines: list[_ClassifiedLine], body_font_size: float) -> list[PageElement]:
+    elements: list[PageElement] = []
+    i = 0
+    n = len(lines)
+    while i < n:
+        line = lines[i]
+        if line.kind == HEADING:
+            elements.append(PageElement(HEADING, level=line.level, text=line.text))
+            i += 1
+        elif line.kind == _TABLE_CANDIDATE:
+            start = i
+            while i < n and lines[i].kind == _TABLE_CANDIDATE:
+                i += 1
+            count = i - start
+            if count >= 2:
+                all_spans = [s for l in lines[start:i] for s in l.spans]
+                elements.append(PageElement(TABLE, table=Table.from_spans(all_spans)))
+            else:
+                # a lone candidate needs ≥4 x-clusters, else it's prose
+                # (layout.rs:211-220)
+                if count_x_clusters(lines[start].spans) >= 4:
+                    elements.append(
+                        PageElement(TABLE, table=Table.from_spans(list(lines[start].spans)))
+                    )
+                else:
+                    elements.append(PageElement(PARAGRAPH, text=lines[start].text))
+        else:  # paragraph run
+            parts: list[str] = []
+            prev_y = line.y
+            while i < n and lines[i].kind == PARAGRAPH:
+                gap = abs(prev_y - lines[i].y)
+                if parts and gap > body_font_size * 1.5:
+                    break
+                parts.append(lines[i].text)
+                prev_y = lines[i].y
+                i += 1
+            text = " ".join(parts)
+            if text.strip(RUST_WS):
+                elements.append(PageElement(PARAGRAPH, text=text))
+    return elements

@@ -1,0 +1,165 @@
+"""Recursive-descent PDF object parser over the token stream.
+
+Reimplements /root/reference/src/parser/object.rs: primitives,
+``n g R`` references via 2-token pushback lookahead (:80-110), arrays
+(:113-136), dicts with Name keys and the dict-vs-stream decision
+(:139-184), exact-``/Length`` stream reads with the
+scan-for-``endstream`` fallback when ``/Length`` is an indirect
+reference (:187-254).
+"""
+
+from __future__ import annotations
+
+from pdf_parser_spark.engine.errors import ParseError
+from pdf_parser_spark.engine.lexer import Lexer
+from pdf_parser_spark.engine.objects import NULL, Name, Ref, Stream
+
+
+class Parser:
+    __slots__ = ("lexer", "peeked")
+
+    def __init__(self, data: bytes):
+        self.lexer = Lexer(data)
+        self.peeked: list = []  # pushback stack for ref lookahead
+
+    @property
+    def position(self) -> int:
+        return self.lexer.pos
+
+    def seek(self, pos: int) -> None:
+        self.lexer.seek(pos)
+        self.peeked.clear()
+
+    def _next_token(self):
+        if self.peeked:
+            return self.peeked.pop()
+        return self.lexer.next_token()
+
+    def _push_back(self, tok) -> None:
+        self.peeked.append(tok)
+
+    def parse_object(self):
+        """Parse one object; ``None`` at EOF or on ``endobj``."""
+        tok = self._next_token()
+        if tok is None:
+            return None
+        kind, value = tok
+        if kind == "null":
+            return NULL
+        if kind == "bool":
+            return value
+        if kind == "real":
+            return value
+        if kind in ("str", "hexstr"):
+            return value
+        if kind == "name":
+            return Name(value)
+        if kind == "[":
+            return self._parse_array()
+        if kind == "<<":
+            return self._parse_dict_or_stream()
+        if kind == "int":
+            return self._parse_int_or_ref(value)
+        if kind == "obj":
+            # skip the keyword, parse the wrapped object
+            return self.parse_object()
+        if kind == "endobj":
+            return None
+        raise ParseError(self.position, f"Unexpected token: {kind}")
+
+    def _parse_int_or_ref(self, first: int):
+        """``42`` vs ``42 0 R`` via two-token lookahead
+        (object.rs:80-110)."""
+        tok2 = self._next_token()
+        if tok2 is None:
+            return first
+        if tok2[0] != "int":
+            self._push_back(tok2)
+            return first
+        tok3 = self._next_token()
+        if tok3 is None:
+            self._push_back(tok2)
+            return first
+        if tok3[0] == "R":
+            return Ref(first & 0xFFFFFFFF, tok2[1] & 0xFFFF)
+        self._push_back(tok3)
+        self._push_back(tok2)
+        return first
+
+    def _parse_array(self) -> list:
+        items = []
+        while True:
+            tok = self._next_token()
+            if tok is None:
+                raise ParseError(self.position, "Unterminated array")
+            if tok[0] == "]":
+                break
+            self._push_back(tok)
+            obj = self.parse_object()
+            if obj is not None:
+                items.append(obj)
+        return items
+
+    def _parse_dict_or_stream(self):
+        d: dict = {}
+        while True:
+            tok = self._next_token()
+            if tok is None:
+                raise ParseError(self.position, "Unterminated dictionary")
+            if tok[0] == ">>":
+                break
+            if tok[0] != "name":
+                raise ParseError(
+                    self.position, f"Dictionary key must be name, got {tok[0]}"
+                )
+            key = tok[1]
+            value = self.parse_object()
+            if value is None:
+                raise ParseError(self.position, "Missing dictionary value")
+            d[key] = value
+
+        # dict vs stream: look one token ahead, rewind if not a stream
+        pos_after_dict = self.lexer.pos
+        tok = self._next_token()
+        if tok is not None and tok[0] == "stream":
+            data = self._read_stream_data(d)
+            return Stream(d, data)
+        self.lexer.seek(pos_after_dict)
+        self.peeked.clear()
+        return d
+
+    def _read_stream_data(self, d: dict) -> bytes:
+        self.lexer.skip_whitespace()
+        length = d.get("Length")
+        if isinstance(length, Ref):
+            # indirect /Length: scan for the endstream marker instead
+            return self._read_stream_until_endstream()
+        if not isinstance(length, int) or isinstance(length, bool):
+            raise ParseError(self.position, "Stream missing Length")
+
+        start = self.lexer.pos
+        end = start + length
+        data = self.lexer.data
+        if end > len(data) or length < 0:
+            raise ParseError(start, "Stream data extends past EOF")
+        payload = data[start:end]
+        self.lexer.seek(end)
+
+        self.lexer.skip_whitespace()
+        tok = self._next_token()
+        if tok is not None and tok[0] == "endstream":
+            return payload
+        raise ParseError(self.position, "Missing endstream")
+
+    def _read_stream_until_endstream(self) -> bytes:
+        start = self.lexer.pos
+        data = self.lexer.data
+        marker = b"endstream"
+        idx = data.find(marker, start)
+        # the reference's scan bound is exclusive (object.rs:242), so a
+        # marker flush against EOF is never matched — keep that boundary
+        if idx == -1 or idx == len(data) - len(marker):
+            raise ParseError(start, "Could not find endstream")
+        payload = data[start:idx]
+        self.lexer.seek(idx + len(marker))
+        return payload
