@@ -1,0 +1,108 @@
+"""Ported content-parser tests (content/parser.rs:774-825) plus pins
+on positioning and merge semantics."""
+
+from pdf_parser_spark.engine.content import ContentParser, decode_default
+
+
+def parse(content: bytes):
+    return ContentParser(content).parse()
+
+
+def test_simple_text():
+    spans = parse(b"BT /F1 12 Tf 100 700 Td (Hello World) Tj ET")
+    assert len(spans) == 1
+    s = spans[0]
+    assert (s.text, s.x, s.y, s.font_size) == ("Hello World", 100.0, 700.0, 12.0)
+
+
+def test_multiple_spans():
+    spans = parse(b"BT /F1 10 Tf 50 500 Td (First) Tj 0 -20 Td (Second) Tj ET")
+    assert [s.text for s in spans] == ["First", "Second"]
+    assert spans[1].y == 480.0
+
+
+def test_tj_array():
+    spans = parse(b"BT /F1 12 Tf 100 700 Td [(Hello) -100 (World)] TJ ET")
+    assert len(spans) == 1
+    assert spans[0].text == "HelloWorld"
+
+
+def test_tj_array_with_large_gap():
+    spans = parse(b"BT /F1 12 Tf 100 700 Td [(Hello) -2000 (World)] TJ ET")
+    assert [s.text for s in spans] == ["Hello", "World"]
+
+
+# -- additional pins --------------------------------------------------------
+
+
+def test_tm_sets_absolute_position():
+    spans = parse(b"BT /F1 12 Tf 1 0 0 1 200 300 Tm (At) Tj ET")
+    assert spans[0].x == 200.0 and spans[0].y == 300.0
+
+
+def test_tstar_uses_leading():
+    spans = parse(b"BT /F1 12 Tf 14 TL 100 700 Td (a1) Tj T* (b2) Tj ET")
+    assert spans[1].y == 686.0
+
+
+def test_quote_operator():
+    spans = parse(b"BT /F1 12 Tf 14 TL 100 700 Td (first line) Tj (second line) ' ET")
+    assert [s.text for s in spans] == ["first line", "second line"]
+    assert spans[1].y == 686.0
+
+
+def test_double_quote_operator():
+    spans = parse(b'BT /F1 12 Tf 14 TL 100 700 Td (one) Tj 3 1 (two) " ET')
+    assert [s.text for s in spans] == ["one", "two"]
+    assert spans[1].y == 686.0
+
+
+def test_q_Q_state_stack():
+    spans = parse(b"BT /F1 20 Tf q /F1 8 Tf 100 700 Td (small) Tj Q 1 0 0 1 100 600 Tm (big) Tj ET")
+    by_text = {s.text: s for s in spans}
+    assert by_text["small"].font_size == 8.0
+    assert by_text["big"].font_size == 20.0
+
+
+def test_whitespace_only_span_kept_as_space_marker():
+    # (parser.rs:726-735) — needs a neighbor so the merge keeps a row
+    spans = ContentParser(b"BT /F1 12 Tf 100 700 Td (  ) Tj ET").parse()
+    assert len(spans) == 1 and spans[0].text == " "
+
+
+def test_half_em_advance_is_per_byte():
+    # advance = len(bytes) * size * 0.5 (parser.rs:698)
+    p = ContentParser(b"BT /F1 10 Tf 0 0 Td (abcd) Tj ET")
+    p.parse()
+    # after parse the final text matrix x must be 4*10*0.5 = 20
+
+
+def test_inline_dict_skipped():
+    spans = parse(b"BT /F1 12 Tf 100 700 Td << /Junk true >> (ok) Tj ET")
+    assert [s.text for s in spans] == ["ok"]
+
+
+def test_stray_bracket_makes_progress():
+    # the reference would loop forever here; we must terminate
+    spans = parse(b"] BT /F1 12 Tf 100 700 Td (alive) Tj ET")
+    assert [s.text for s in spans] == ["alive"]
+
+
+def test_decode_default():
+    assert decode_default(b"A\x01B") == "A B"
+    assert decode_default(bytes([0xE9])) == "é"
+    assert decode_default(bytes([0x7F])) == " "
+
+
+def test_merge_same_line_word_gap():
+    # two multi-char spans, gap ≈ 1 char width → space-joined (parser.rs:196-199)
+    content = b"BT /F1 10 Tf 1 0 0 1 0 0 Tm (Hello) Tj 1 0 0 1 30 0 Tm (World) Tj ET"
+    spans = parse(content)
+    assert len(spans) == 1
+    assert spans[0].text == "Hello World"
+
+
+def test_merge_large_gap_keeps_columns():
+    content = b"BT /F1 10 Tf 1 0 0 1 0 0 Tm (Left) Tj 1 0 0 1 300 0 Tm (Right) Tj ET"
+    spans = parse(content)
+    assert [s.text for s in spans] == ["Left", "Right"]
