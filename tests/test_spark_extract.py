@@ -1,0 +1,102 @@
+"""Reference⇄Spark equivalence: the same corpus through (a) the engine
+directly and (b) the pandas-UDF path on local Spark; byte-identical
+``text`` per url is the north-rule invariant (SURVEY.md §5.3)."""
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from fixtures.gen import build_html_corpus, build_pdf_corpus  # noqa: E402
+from pdf_parser_spark.engine import extract_document  # noqa: E402
+from pdf_parser_spark.spark.job import (  # noqa: E402
+    classify_size,
+    lineage,
+    resume_filter,
+    run_extract,
+)
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", LongType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pdf_parser_spark.spark.session import build_session
+
+    s = build_session("pdf-parser-spark-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    rows = []
+    for cid, data in {**build_pdf_corpus(), **build_html_corpus()}.items():
+        rows.append((f"https://fixtures.test/{cid}", 0, bytearray(data), "", "en"))
+    return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+
+def test_byte_identity_engine_vs_spark(spark, pages_df):
+    extracted = run_extract(pages_df, threshold=100_000)
+    got = {r["url"]: r for r in extracted.collect()}
+    corpus = {**build_pdf_corpus(), **build_html_corpus()}
+    assert len(got) == len(corpus)
+    for cid, data in corpus.items():
+        url = f"https://fixtures.test/{cid}"
+        expected = extract_document(data)
+        row = got[url]
+        assert row["text_extracted"] == expected["text"], cid
+        assert row["n_pages"] == expected["n_pages"], cid
+        assert row["decode_error_kind"] == expected["error_kind"], cid
+        got_spans = [(s["start"], s["end"], s["kind"]) for s in row["spans"]]
+        assert got_spans == expected["spans"], cid
+
+
+def test_heavy_tail_routing(spark, pages_df):
+    classed = classify_size(pages_df, threshold=100_000)
+    heavy = {r["url"] for r in classed.filter("size_class = 'heavy'").collect()}
+    assert "https://fixtures.test/megapage" in heavy
+    assert "https://fixtures.test/min-uncompressed" not in heavy
+
+
+def test_lineage_tallies(spark, pages_df):
+    extracted = run_extract(pages_df, threshold=100_000)
+    lin = lineage(extracted).collect()
+    total_rows = sum(r["row_count"] for r in lin)
+    total_failures = sum(r["decode_failures"] for r in lin)
+    n_malformed = sum(1 for c in build_pdf_corpus() if c.startswith("malformed-")) - 1
+    # malformed-header routes to the HTML path and succeeds (empty text)
+    assert total_rows == len(build_pdf_corpus()) + len(build_html_corpus())
+    assert total_failures == n_malformed
+
+
+def test_resume_anti_join(spark, pages_df):
+    committed = pages_df.select("url").limit(10)
+    remaining = resume_filter(pages_df, committed)
+    assert remaining.count() == pages_df.count() - 10
+    # committed urls are gone
+    joined = remaining.join(committed, "url", "inner")
+    assert joined.count() == 0
+
+
+def test_extract_plan_is_narrow_after_repartition(spark, pages_df):
+    # the extract stage must not shuffle beyond its single repartition:
+    # no Exchange between the UDF and the scan apart from the routing one
+    plan = run_extract(pages_df, threshold=100_000)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 3  # 2 routing repartitions + union coalesce
