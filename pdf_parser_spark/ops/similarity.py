@@ -1,0 +1,224 @@
+"""Approximate-nearest-neighbor search over the embedding column.
+
+Two strategies over ``embeddings(vec_id BIGINT, embedding FLOAT[64],
+label INT)``:
+
+* brute-force cosine top-k — the exactness baseline.  The query side
+  is tiny and **broadcast**, so the scan side never shuffles: at
+  100 TB this is one narrow pass over the corpus + a per-partition
+  top-k (window) that AQE coalesces.
+* IVF top-k — coarse quantization: every vector is assigned to its
+  nearest centroid (the scale path trains centroids with k-means;
+  here the first ``IVF_CENTROIDS`` vectors serve as deterministic
+  centroids so the oracle is SQL-expressible), and queries only probe
+  their own cell.  This is the standard IVF-flat trade: recall loss
+  at cell boundaries for a CENTROIDS× scan reduction.
+
+All arithmetic is double-precision higher-order array functions
+(JVM-side, whole-stage codegen).  Ranking uses round(cos, 6) with
+vec_id tie-break so Spark and DuckDB rank identically even if the
+last ulp of two float sums differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pdf_parser_spark.ops.common import load_table, roundn, roundn_sql
+
+TOPK_QUERIES = 8        # vec_id < 8 are the query vectors
+TOPK_K = 5
+IVF_CENTROIDS = 16      # vec_id < 16 are the centroids
+IVF_QUERY_LO, IVF_QUERY_HI = 16, 24
+IVF_K = 3
+
+EMB_DIM = 64
+
+# strictly left-to-right double accumulation (list_reduce), matching
+# Spark's F.aggregate fold bit-for-bit — list_dot_product may use a
+# different summation order, which flips 4-decimal rounding at
+# boundary values (seen at sf0.01: 0.26685 vs 0.26684999…)
+_SEQ_DOT = (
+    "list_reduce([({a})[i] * ({b})[i] "
+    f"for i in generate_series(1, {EMB_DIM})], (acc, x) -> acc + x)"
+)
+COSINE_SQL = (
+    f"({_SEQ_DOT.format(a='{a}', b='{b}')} / "
+    f"(sqrt({_SEQ_DOT.format(a='{a}', b='{a}')}) * "
+    f"sqrt({_SEQ_DOT.format(a='{b}', b='{b}')})))"
+)
+
+
+def _r6(inner: str) -> str:
+    return roundn_sql(inner, 6)
+
+
+_R6Q = _r6(COSINE_SQL.format(a="q.qv", b="vecs.v"))
+_R6C = _r6(COSINE_SQL.format(a="vecs.v", b="cents.cv"))
+_R6A = _r6(COSINE_SQL.format(a="q.qv", b="a.v"))
+_R4COS = roundn_sql("cos6", 4)
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries × corpus scan."""
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    joined = vecs.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        roundn(_cosine(F.col("qv"), F.col("v")), 6).alias("cos6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos6"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            roundn(F.col("cos6"), 4).alias("cosine"),
+        )
+    )
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {TOPK_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, vecs.vec_id AS neighbor_id,
+         {_R6Q} AS cos6
+  FROM vecs CROSS JOIN q
+  WHERE vecs.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos6,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, {_R4COS} AS cosine
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat cosine top-k: assign to nearest centroid, probe own
+    cell only.
+
+    Scale: both the centroid table and the query set broadcast; the
+    corpus makes ONE narrow pass for assignment, then the probe join
+    is keyed on the centroid id (bounded fan-out = cell population).
+    """
+    vecs = _vecs(spark, sf_dir)
+    cents = vecs.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    # nearest-centroid assignment for every vector (deterministic
+    # tie-break on centroid_id after 6-decimal rounding)
+    sim = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "centroid_id",
+        roundn(_cosine(F.col("v"), F.col("cv")), 6).alias("csim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("centroid_id")
+    )
+    assigned = (
+        sim.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("centroid_id").alias("cell"))
+    )
+    q = assigned.filter(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    probe = assigned.join(
+        F.broadcast(q), F.col("cell") == F.col("qcell")
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    scored = probe.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        roundn(_cosine(F.col("qv"), F.col("v")), 6).alias("cos6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_K)
+        .select(
+            "query_id", "neighbor_id", "rank", roundn(F.col("cos6"), 4).alias("cosine")
+        )
+    )
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM vecs WHERE vec_id < {IVF_CENTROIDS}
+),
+sim AS (
+  SELECT vecs.vec_id, vecs.v, cents.centroid_id,
+         {_R6C} AS csim
+  FROM vecs CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id ASC) AS rn
+    FROM sim
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, cell AS qcell
+  FROM assigned WHERE vec_id >= {IVF_QUERY_LO} AND vec_id < {IVF_QUERY_HI}
+),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         {_R6A} AS cos6
+  FROM assigned a JOIN q ON a.cell = q.qcell
+  WHERE a.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos6,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, {_R4COS} AS cosine
+FROM ranked WHERE rank <= {IVF_K}
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
+}

@@ -1,0 +1,212 @@
+"""Text analysis operators over the ``documents`` table: token
+counting, quality scoring, language-ID heuristic, fingerprinting.
+
+Everything is built-in string/array functions — one narrow scan, no
+shuffle, no Python.  At 100 TB each of these runs at parquet-scan
+speed with full column pruning (only ``doc_id``/``text``/``lang``
+read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pdf_parser_spark.ops.common import (
+    h32,
+    roundn,
+    roundn_sql,
+    h32_sql,
+    load_table,
+    seeded_h32,
+    seeded_h32_sql,
+    shingles,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
+
+STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
+
+# marker words per language for the n-gram/stopword lang-ID heuristic;
+# prediction = first language in priority order achieving the max hit
+# count (deterministic tie-break)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "a"],
+    "es": ["el", "la", "de", "y"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+    "zh": ["de", "shi", "bu", "le"],
+}
+LANG_ORDER = ["en", "es", "de", "fr", "zh"]
+
+
+def _hits(tok, words):
+    return F.size(F.filter(tok, lambda t: t.isin(words)))
+
+
+def _hits_sql(tok_expr, words):
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({tok_expr}, t -> t IN ({lst})))"
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + distinct-token and
+    char-length stats per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_text"),
+        roundn(
+            F.aggregate(
+                F.transform(tok, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(tok),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+TEXT_TOKEN_STATS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, text, {tokens_sql("text")} AS t FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_distinct_tokens,
+       length(text) AS n_chars_text,
+       (floor((list_reduce([length(x)::DOUBLE for x in t], (acc, y) -> acc + y) / len(t)) * 10000.0 + 0.5) / 10000.0) AS avg_token_len
+FROM tok
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, lexical diversity, length
+    saturation → weighted score in [0,1] (boilerpipe-style shallow
+    features, Kohlschütter et al. WSDM 2010)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    n = F.size(tok)
+    stop_ratio = _hits(tok, STOPWORDS).cast("double") / n
+    diversity = F.size(F.array_distinct(tok)).cast("double") / n
+    length_sat = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
+    score = roundn(0.4 * stop_ratio + 0.3 * diversity + 0.3 * length_sat, 4)
+    return docs.select(
+        "doc_id",
+        roundn(stop_ratio, 4).alias("stopword_ratio"),
+        roundn(diversity, 4).alias("lexical_diversity"),
+        roundn(length_sat, 4).alias("length_saturation"),
+        score.alias("quality_score"),
+    )
+
+
+TEXT_QUALITY_SCORE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql("text")} AS t FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         {_hits_sql("t", STOPWORDS)}::DOUBLE / len(t) AS stop_ratio,
+         len(list_distinct(t))::DOUBLE / len(t) AS diversity,
+         least(len(t)::DOUBLE / 50.0, 1.0) AS length_sat
+  FROM tok
+)
+SELECT doc_id,
+       (floor(stop_ratio * 10000.0 + 0.5) / 10000.0) AS stopword_ratio,
+       (floor(diversity * 10000.0 + 0.5) / 10000.0) AS lexical_diversity,
+       (floor(length_sat * 10000.0 + 0.5) / 10000.0) AS length_saturation,
+       (floor((0.4 * stop_ratio + 0.3 * diversity + 0.3 * length_sat) * 10000.0 + 0.5) / 10000.0) AS quality_score
+FROM feat
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word hit counts per language,
+    argmax with fixed priority-order tie-break; compared against the
+    labeled ``lang`` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    hits = {lang: _hits(tok, words) for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*[hits[lang] for lang in LANG_ORDER])
+    pred = F.lit(LANG_ORDER[-1])
+    for lang in reversed(LANG_ORDER[:-1]):
+        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+def _lang_id_sql() -> str:
+    hit_cols = ",\n         ".join(
+        f"{_hits_sql('t', LANG_MARKERS[lang])} AS h_{lang}" for lang in LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in LANG_ORDER) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in LANG_ORDER[:-1]
+    ) + f" ELSE '{LANG_ORDER[-1]}' END"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, {tokens_sql("text")} AS t FROM documents
+),
+hits AS (
+  SELECT doc_id, lang,
+         {hit_cols}
+  FROM tok
+)
+SELECT doc_id, lang AS labeled_lang,
+       {case} AS predicted_lang,
+       ({case}) = lang AS is_match
+FROM hits
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full content hash + 1-permutation
+    MinHash over word-5-grams (winnowing-style min fingerprint) +
+    shingle cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    sh5 = shingles(tok, 5)
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+        F.when(
+            F.size(sh5) >= 1,
+            F.array_min(F.transform(sh5, lambda s: seeded_h32(1, s))),
+        ).alias("min_shingle_hash"),
+        F.size(sh5).alias("n_shingles5"),
+        h32(F.col("text")).alias("content_h32"),
+    )
+
+
+TEXT_FINGERPRINT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, text, {tokens_sql("text")} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, text, {shingles_sql("t", 5)} AS s5 FROM tok
+)
+SELECT doc_id,
+       md5(text) AS content_md5,
+       CASE WHEN len(s5) >= 1
+            THEN list_min([{seeded_h32_sql("1", "x")} for x in s5])
+            ELSE NULL END AS min_shingle_hash,
+       len(s5) AS n_shingles5,
+       {h32_sql("text")} AS content_h32
+FROM sh
+"""
+
+
+QUERIES = {
+    "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
+    "text_quality_score": (text_quality_score, TEXT_QUALITY_SCORE_SQL),
+    "text_lang_id": (text_lang_id, _lang_id_sql()),
+    "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+}
