@@ -24,6 +24,7 @@ from pdf_parser_spark.ops.common import (
     roundn_sql,
     dedup_corpus,
     h32,
+    h32_sql,
     load_table,
     seeded_h32,
     seeded_h32_sql,
@@ -70,26 +71,45 @@ GROUP BY 1
 
 # -- MinHash + LSH ----------------------------------------------------------
 
+# k-permutation family via affine transforms of ONE base hash per
+# shingle (standard universal-hash MinHash): md5 runs once per
+# shingle, the k permutations are integer arithmetic.  16x cheaper
+# than k independent md5 calls — HOF expressions are interpreted
+# (outside WholeStageCodegen), so per-element op cost is the budget.
+MINHASH_PRIME = 4294967291  # largest 32-bit prime
+
+
+def _perm(h, i):
+    """h_i = (h * (2i+1) + 12345*i) mod p — exact in BIGINT on every
+    engine (h < 2^32, multiplier ≤ 31 → product < 2^37)."""
+    return (h * (2 * i + 1) + 12345 * i) % MINHASH_PRIME
+
+
+def _perm_sql(h_expr: str, i_expr: str) -> str:
+    return (
+        f"(({h_expr}) * (2 * ({i_expr}) + 1) + 12345 * ({i_expr})) % {MINHASH_PRIME}"
+    )
+
+
 def _signature_col():
-    """MinHash signature as an array column — k minima over the
-    shingle set, all inside higher-order functions (no explode, no
-    shuffle: at 100 TB the signature stage is a narrow map)."""
-    sh = F.col("sh")
+    """MinHash signature from the per-shingle base-hash array ``hs``:
+    k minima, all higher-order functions (narrow, no shuffle)."""
+    hs = F.col("hs")
     return F.transform(
         F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: seeded_h32(i, s))
-        ),
+        lambda i: F.array_min(F.transform(hs, lambda h: _perm(h, i))),
     )
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, shingle set ``sh``, base-hash array ``hs``."""
     corpus = dedup_corpus(spark, sf_dir)
     return (
         corpus.select(
             "doc_id", shingles(tokens(F.col("text")), SHINGLE_N).alias("sh")
         )
         .filter(F.size("sh") >= 1)
+        .withColumn("hs", F.transform("sh", lambda s: h32(s)))
     )
 
 
@@ -102,8 +122,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     true near-dups exist.  The signature build is narrow; only band
     keys (doc_id, 4 × 32 bytes) shuffle, never the text.
     """
-    sig = _shingled(spark, sf_dir).select(
-        "doc_id", _signature_col().alias("sig")
+    # persist() is load-bearing: without a materialization point,
+    # CollapseProject inlines the (16 x |shingles|)-hash signature
+    # expression into every band key and join side, recomputing it
+    # ~10x (observed 52 s → ~2 s at bench scale).  At cluster scale
+    # this is where signatures get written to their own table.
+    sig = (
+        _shingled(spark, sf_dir)
+        .select("doc_id", _signature_col().alias("sig"))
+        .persist()
     )
     bands = sig.select(
         "doc_id",
@@ -157,10 +184,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql_prelude() -> str:
-    """Shared CTEs: corpus → shingles → exploded (doc, seed, hash) →
-    ordered signature list per doc."""
+    """Shared CTEs: corpus → shingles → base hash per shingle →
+    k permutations → ordered signature list per doc."""
     sh = shingles_sql(tokens_sql("text"), SHINGLE_N)
-    hashed = seeded_h32_sql("g.i", "u.sh")
     return (
         DEDUP_CORPUS_SQL
         + f""",
@@ -170,9 +196,13 @@ shingled AS (
 shingled_ok AS (
   SELECT * FROM shingled WHERE len(sh) >= 1
 ),
+hashed AS (
+  SELECT doc_id, {h32_sql("u.sh")} AS h
+  FROM shingled_ok, unnest(sh) AS u(sh)
+),
 mh AS (
-  SELECT doc_id, g.i AS i, min({hashed}) AS v
-  FROM shingled_ok, unnest(sh) AS u(sh), generate_series(0, {MINHASH_K - 1}) AS g(i)
+  SELECT doc_id, g.i AS i, min({_perm_sql("h", "g.i")}) AS v
+  FROM hashed, generate_series(0, {MINHASH_K - 1}) AS g(i)
   GROUP BY doc_id, g.i
 ),
 sigs AS (
@@ -249,8 +279,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from pdf_parser_spark.ops.common import h32_sql  # noqa: E402
-
 DEDUP_SIMHASH_SQL = (
     DEDUP_CORPUS_SQL
     + f""",
@@ -290,11 +318,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle arrays (array_intersect/array_union, JVM-side).
     """
     sh = _shingled(spark, sf_dir)
+    # persist: same CollapseProject hazard as the LSH signature — the
+    # shingle build would otherwise be inlined into both join sides
+    # and the intersect/union arithmetic
     keyed = sh.select(
         "doc_id",
         "sh",
-        F.array_min(F.transform("sh", lambda s: seeded_h32(0, s))).alias("mh0"),
-    )
+        F.array_min(F.transform("hs", lambda h: _perm(h, 0))).alias("mh0"),
+    ).persist()
     a = keyed.alias("a")
     b = keyed.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh"))
@@ -322,7 +353,7 @@ shingled AS (
 ),
 keyed AS (
   SELECT doc_id, sh,
-         list_min([{seeded_h32_sql("0", "s")} for s in sh]) AS mh0
+         list_min([({h32_sql("s")}) % {MINHASH_PRIME} for s in sh]) AS mh0
   FROM shingled WHERE len(sh) >= 1
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

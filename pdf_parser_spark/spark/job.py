@@ -68,8 +68,11 @@ def run_extract(
     maps after their single repartition; union is metadata-only.
     """
     sc = pages.sparkSession.sparkContext
-    n_norm = normal_partitions or sc.defaultParallelism
-    n_heavy = heavy_partitions or sc.defaultParallelism * 2
+    # normal class: 2x parallelism for load balance across cheap docs;
+    # heavy class: 1x — the class is small by construction and every
+    # post-shuffle partition pays a Python-worker task even when empty
+    n_norm = normal_partitions or sc.defaultParallelism * 2
+    n_heavy = heavy_partitions or sc.defaultParallelism
 
     classed = classify_size(pages, threshold)
     normal = classed.filter(F.col("size_class") == "normal").repartition(
