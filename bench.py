@@ -1,0 +1,261 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: runs the headline queries on ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) with ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "extract": {...}}
+
+The headline is the extraction job (BASELINE.md: docs/sec over a
+deterministic synthetic pages corpus with a heavy-tail class) plus the
+corpus operators at the given scale factor.
+
+``--scaling`` mode: same extraction corpus at local[8] and local[32]
+(N vs 4N cores — the sandbox stand-in for N vs 4N executors,
+BASELINE.json north_rule) and reports throughput at both plus
+efficiency = (docs_per_sec@32 / docs_per_sec@8) / 4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+CORPUS_CACHE = "/tmp/pdf_parser_spark_bench"
+
+# corpus ops measured per-round (a representative cut across dedup /
+# similarity / text analysis / multimodal / job-layer)
+BENCH_OPS = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "multimodal_features",
+    "heavy_tail_classes",
+    "lineage_by_source",
+    "resume_anti_join",
+    "skew_buckets",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_scale(sf: float) -> int:
+    """Fixture-corpus repetitions per scale factor: 29 docs/rep
+    (incl. one giant PDF and one megapage HTML per rep — the
+    heavy-tail class)."""
+    return max(10, int(1500 * sf))
+
+
+def build_session(master: str, shuffle: int):
+    from pdf_parser_spark.spark.session import build_session as _b
+
+    return _b("pdf-parser-spark-bench", master=master, shuffle_partitions=shuffle)
+
+
+def ensure_corpus(spark, scale: int) -> str:
+    """Write the deterministic pages corpus to parquet once per scale
+    (driver-side blobs × Spark-side explode, so the driver never holds
+    scale× copies)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+
+    path = f"{CORPUS_CACHE}/pages_x{scale}.parquet"
+    marker = f"{path}/_SUCCESS"
+    if os.path.exists(marker):
+        return path
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    base = entrymod._pages_df(spark, scale=1)
+    scaled = (
+        base.crossJoin(
+            F.broadcast(
+                spark.range(scale).select(F.col("id").alias("rep"))
+            )
+        )
+        .select(
+            F.concat_ws("/", "url", F.col("rep").cast("string")).alias("url"),
+            (F.col("warc_ts") + F.col("rep")).alias("warc_ts"),
+            "html",
+            "text",
+            "lang",
+        )
+        .repartition(64, "url")
+    )
+    scaled.write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_extraction(spark, corpus_path: str) -> dict:
+    """Time the full extraction job (skew-routed, spans, lineage agg)."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.spark.job import lineage, run_extract
+
+    pages = spark.read.parquet(corpus_path)
+    n_docs = pages.count()
+    # best-of-2: the sandbox VM has bursty steal-time noise; the min
+    # is the honest compute cost (first run also pays worker imports)
+    wall = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        extracted = run_extract(pages, fmt="txt", threshold=100_000)
+        agg = extracted.select(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.length("text_extracted")).alias("chars"),
+            F.sum(F.when(F.col("decode_error").isNotNull(), 1).otherwise(0)).alias(
+                "errs"
+            ),
+        ).collect()[0]
+        wall = min(wall, time.time() - t0)
+    t1 = time.time()
+    lin = lineage(run_extract(pages, fmt="txt", threshold=100_000)).collect()
+    lineage_wall = time.time() - t1
+    return {
+        "docs": n_docs,
+        "wall_s": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 2),
+        "chars": int(agg["chars"]),
+        "decode_errors": int(agg["errs"]),
+        "lineage_partitions": len(lin),
+        "lineage_wall_s": round(lineage_wall, 3),
+    }
+
+
+def run_ops(spark, sf_dir: str) -> dict:
+    from pdf_parser_spark.ops import all_queries
+
+    qs = all_queries()
+    times = {}
+    for name in BENCH_OPS:
+        best = float("inf")
+        for _ in range(2):  # best-of-2 vs bursty VM steal-time noise
+            fn, _sql = qs[name]
+            df = fn(spark, sf_dir)
+            t0 = time.time()
+            # noop sink: materializes EVERY output column.  A count()
+            # action lets Catalyst prune the whole projection (column
+            # pruning makes "timings" measure a bare parquet scan).
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            # release per-query persisted stages (LSH signatures etc.)
+            # so cached blocks don't accumulate across queries
+            spark.catalog.clearCache()
+        times[name] = round(best, 3)
+        times[f"{name}_rows"] = df.count()
+        spark.catalog.clearCache()
+    return times
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="measure local[8] vs local[32] extraction throughput")
+    ap.add_argument("--formats", action="store_true",
+                    help="measure per-format (txt/md/csv) docs/sec at local[32]")
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_of(args.sf_dir)
+    scale = corpus_scale(sf)
+
+    if args.scaling:
+        # larger corpus for the scaling measurement: per-job fixed
+        # overheads (~2-4 s) must be small vs compute at local[32]
+        scale = max(600, scale)
+        results = {}
+        for n in (8, 32):
+            spark = build_session(f"local[{n}]", shuffle=max(n, 32))
+            corpus = ensure_corpus(spark, scale)
+            run_extraction(spark, corpus)  # warm-up: JIT, page cache, worker pool
+            results[n] = run_extraction(spark, corpus)
+            spark.stop()
+        eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
+        out = {
+            "metric": "extract scaling local[8] vs local[32]",
+            "value": round(eff, 4),
+            "unit": "efficiency",
+            "sf": sf,
+            "docs": results[8]["docs"],
+            "local8_docs_per_sec": results[8]["docs_per_sec"],
+            "local32_docs_per_sec": results[32]["docs_per_sec"],
+            "local8_wall_s": results[8]["wall_s"],
+            "local32_wall_s": results[32]["wall_s"],
+        }
+        print(json.dumps(out))
+        return
+
+    if args.formats:
+        from pyspark.sql import functions as F
+
+        from pdf_parser_spark.spark.job import run_extract
+
+        scale = max(600, scale)
+        spark = build_session(f"local[{cpus}]", shuffle=32)
+        corpus = ensure_corpus(spark, scale)
+        pages = spark.read.parquet(corpus)
+        n_docs = pages.count()
+        out = {"metric": "per-format extraction throughput", "unit": "docs/sec",
+               "sf": sf, "docs": n_docs}
+        for fmt in ("txt", "md", "csv"):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                run_extract(pages, fmt=fmt, threshold=100_000).select(
+                    F.sum(F.length("text_extracted"))
+                ).collect()
+                best = min(best, time.time() - t0)
+            out[fmt] = round(n_docs / best, 2)
+        out["value"] = out["txt"]
+        spark.stop()
+        print(json.dumps(out))
+        return
+
+    spark = build_session(f"local[{cpus}]", shuffle=32)
+    corpus = ensure_corpus(spark, scale)
+    t_total0 = time.time()
+    ex = run_extraction(spark, corpus)
+    queries = {"extract_pages": ex["wall_s"]}
+    queries.update(run_ops(spark, args.sf_dir))
+    total = round(time.time() - t_total0, 3)
+    spark.stop()
+
+    out = {
+        "metric": "extraction + corpus-ops wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "extract_docs": ex["docs"],
+        "extract_docs_per_sec": ex["docs_per_sec"],
+        "extract_decode_errors": ex["decode_errors"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

