@@ -1,0 +1,77 @@
+"""The extraction batch job — spark-submit entry point.
+
+Launch (cluster)::
+
+    spark-submit --py-files dist/engine.zip jobs/extract.py \
+        --input iceberg:cc.pages --output iceberg:cc.pages_extracted \
+        --format txt
+
+Launch (sandbox / local smoke)::
+
+    python jobs/extract.py --input /tmp/pages.parquet \
+        --output /tmp/extracted --format txt [--resume]
+
+Pipeline (SURVEY.md §3.4): read pages (url, warc_ts, html, text,
+lang) → optional resume anti-join against committed urls → skew-route
+by payload size → vectorized extraction UDF → append as a new
+snapshot with per-partition lineage rows.  Every run is resumable:
+the commit is atomic (Iceberg snapshot / manifest update), so a
+killed job re-processes only uncommitted urls.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="pages table: parquet path or iceberg:<catalog.table>")
+    ap.add_argument("--output", required=True,
+                    help="output table: parquet dir or iceberg:<catalog.table>")
+    ap.add_argument("--format", default="txt",
+                    choices=["txt", "md", "csv", "tsv", "text", "raw"])
+    ap.add_argument("--resume", action="store_true",
+                    help="anti-join input against committed output urls")
+    ap.add_argument("--heavy-threshold", type=int, default=1 << 20,
+                    help="payload bytes above which a doc is heavy-tail routed")
+    ap.add_argument("--master", default=None,
+                    help="override master (default: whatever spark-submit set)")
+    args = ap.parse_args()
+
+    from pdf_parser_spark.spark.job import lineage, resume_filter, run_extract
+    from pdf_parser_spark.spark.session import build_session
+    from pdf_parser_spark.spark.table import open_table
+
+    spark = build_session("pdf-parser-spark-extract", master=args.master)
+
+    if args.input.startswith("iceberg:"):
+        pages = open_table(spark, args.input).read()
+    else:
+        pages = spark.read.parquet(args.input)
+
+    out = open_table(spark, args.output)
+    if args.resume:
+        committed = out.committed_urls()
+        if committed is not None:
+            pages = resume_filter(pages, committed)
+
+    extracted = run_extract(pages, fmt=args.format, threshold=args.heavy_threshold)
+    # one pass: cache the (small) projected output so the lineage agg
+    # doesn't re-run extraction
+    extracted = extracted.persist()
+    lin = [r.asDict() for r in lineage(extracted).collect()]
+    record = out.append(extracted, lineage_rows=lin)
+    n = sum(row["row_count"] for row in lin)
+    snap_id = record["id"] if isinstance(record, dict) else "iceberg"
+    print(f"committed snapshot {snap_id}: {n} docs, {len(lin)} lineage partitions")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

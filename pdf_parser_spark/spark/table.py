@@ -1,0 +1,125 @@
+"""Snapshot-aware table layer: Iceberg when a catalog is configured,
+parquet + JSON manifest emulation otherwise (SURVEY.md §7.5).
+
+The north rule wants Iceberg semantics — atomic appends, snapshot
+reads, resume from the last committed snapshot.  The sandbox has no
+Iceberg runtime jar, so the same interface is implemented twice:
+
+* ``IcebergTable`` — ``df.writeTo(name).append()`` / catalog reads;
+  used when ``spark.sql.catalog.<cat>`` is configured (real cluster).
+* ``SnapshotParquetTable`` — each commit writes parquet into its own
+  ``snap-NNNN/`` directory, then atomically (write-temp + rename)
+  records it in ``manifest.json`` with row counts and lineage stats.
+  Readers take the manifest as truth, so a torn job that died before
+  the manifest update is invisible to the next run — exactly
+  Iceberg's snapshot-isolation contract, scaled down.
+
+Both support the resume contract: ``committed_urls()`` returns the
+urls present in committed snapshots only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotParquetTable:
+    """Parquet table with manifest-based snapshot isolation."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.manifest_path = os.path.join(path, "manifest.json")
+
+    # -- manifest -----------------------------------------------------------
+
+    def _read_manifest(self) -> dict:
+        if not os.path.exists(self.manifest_path):
+            return {"snapshots": []}
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self.manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self.manifest_path)  # atomic on POSIX
+
+    def snapshots(self) -> list[dict]:
+        return self._read_manifest()["snapshots"]
+
+    # -- write --------------------------------------------------------------
+
+    def append(self, df: DataFrame, lineage_rows: list[dict] | None = None) -> dict:
+        """Write df as a new snapshot; commit = manifest update (last
+        step, atomic).  Returns the snapshot record."""
+        manifest = self._read_manifest()
+        snap_id = len(manifest["snapshots"])
+        snap_dir = os.path.join(self.path, f"snap-{snap_id:04d}")
+        df.write.mode("overwrite").parquet(snap_dir)
+        written = self.spark.read.parquet(snap_dir)
+        record = {
+            "id": snap_id,
+            "dir": f"snap-{snap_id:04d}",
+            "committed_at": time.time(),
+            "row_count": written.count(),
+            "lineage": lineage_rows or [],
+        }
+        manifest["snapshots"].append(record)
+        self._write_manifest(manifest)
+        return record
+
+    # -- read ---------------------------------------------------------------
+
+    def read(self) -> DataFrame | None:
+        """Union of committed snapshots ONLY (directories not in the
+        manifest — torn writes — are ignored)."""
+        snaps = self.snapshots()
+        if not snaps:
+            return None
+        paths = [os.path.join(self.path, s["dir"]) for s in snaps]
+        return self.spark.read.parquet(*paths)
+
+    def committed_urls(self) -> DataFrame | None:
+        df = self.read()
+        return df.select("url").distinct() if df is not None else None
+
+
+class IcebergTable:
+    """Thin wrapper over a real Iceberg catalog table (cluster path).
+
+    Requires spark configured with an Iceberg catalog, e.g.::
+
+        --conf spark.sql.catalog.cc=org.apache.iceberg.spark.SparkCatalog
+        --conf spark.sql.catalog.cc.type=hive
+
+    Untestable in this sandbox (no runtime jar) — kept minimal and
+    symmetrical with SnapshotParquetTable so the job code is
+    backend-agnostic.
+    """
+
+    def __init__(self, spark: SparkSession, name: str):
+        self.spark = spark
+        self.name = name
+
+    def append(self, df: DataFrame, lineage_rows: list[dict] | None = None):
+        df.writeTo(self.name).append()
+
+    def read(self) -> DataFrame:
+        return self.spark.read.table(self.name)
+
+    def committed_urls(self) -> DataFrame:
+        return self.read().select("url").distinct()
+
+
+def open_table(spark: SparkSession, target: str):
+    """``iceberg:<catalog.table>`` → IcebergTable, else parquet path."""
+    if target.startswith("iceberg:"):
+        return IcebergTable(spark, target[len("iceberg:") :])
+    return SnapshotParquetTable(spark, target)

@@ -1,0 +1,131 @@
+"""End-to-end resume semantics over the snapshot table layer:
+extract → commit → kill-and-retry leaves no duplicates and re-does no
+committed work; torn snapshots (no manifest entry) are invisible.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pdf_parser_spark.spark.job import resume_filter, run_extract  # noqa: E402
+from pdf_parser_spark.spark.table import SnapshotParquetTable, open_table  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pdf_parser_spark.spark.session import build_session
+
+    s = build_session("table-resume-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture()
+def pages(spark):
+    from fixtures.gen import build_pages_rows
+
+    from tests.test_spark_extract import PAGES_SCHEMA
+
+    rows = [
+        (url, ts, bytearray(data), text, lang)
+        for url, ts, data, text, lang in build_pages_rows(scale=1)
+    ]
+    return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+
+def test_snapshot_append_and_read(spark, pages, tmp_path):
+    tbl = SnapshotParquetTable(spark, str(tmp_path / "out"))
+    assert tbl.read() is None
+    first = pages.limit(10).select("url", "warc_ts")
+    rec = tbl.append(first)
+    assert rec["id"] == 0 and rec["row_count"] == 10
+    assert tbl.read().count() == 10
+    tbl.append(pages.select("url", "warc_ts").exceptAll(first))
+    assert tbl.read().count() == pages.count()
+    assert len(tbl.snapshots()) == 2
+
+
+def test_torn_snapshot_invisible(spark, pages, tmp_path):
+    tbl = SnapshotParquetTable(spark, str(tmp_path / "out"))
+    tbl.append(pages.limit(5).select("url"))
+    # simulate a job that died mid-write: data directory exists but
+    # was never committed to the manifest
+    pages.limit(3).select("url").write.parquet(str(tmp_path / "out" / "snap-9999"))
+    assert tbl.read().count() == 5
+
+
+def test_resume_skips_committed(spark, pages, tmp_path):
+    tbl = SnapshotParquetTable(spark, str(tmp_path / "out"))
+    half = pages.filter(F.xxhash64("url") % 2 == 0)
+    extracted_half = run_extract(half, threshold=100_000)
+    tbl.append(extracted_half)
+    n_committed = tbl.read().count()
+
+    remaining = resume_filter(pages, tbl.committed_urls())
+    assert remaining.count() == pages.count() - n_committed
+    tbl.append(run_extract(remaining, threshold=100_000))
+
+    final = tbl.read()
+    assert final.count() == pages.count()
+    assert final.select("url").distinct().count() == pages.count()
+
+    # idempotent: a third resume run has nothing to do
+    assert resume_filter(pages, tbl.committed_urls()).count() == 0
+
+
+def test_open_table_dispatch(spark, tmp_path):
+    t = open_table(spark, str(tmp_path / "x"))
+    assert isinstance(t, SnapshotParquetTable)
+    from pdf_parser_spark.spark.table import IcebergTable
+
+    t2 = open_table(spark, "iceberg:cat.db.tbl")
+    assert isinstance(t2, IcebergTable)
+
+
+def test_job_cli_end_to_end(spark, pages, tmp_path):
+    """jobs/extract.py as a subprocess: run, then resume-run (no-op)."""
+    inp = str(tmp_path / "pages.parquet")
+    out = str(tmp_path / "extracted")
+    pages.write.parquet(inp)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [
+        sys.executable, os.path.join(repo, "jobs", "extract.py"),
+        "--input", inp, "--output", out, "--format", "txt",
+        "--resume", "--master", "local[2]",
+        "--heavy-threshold", "100000",
+    ]
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "2"}
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["snapshots"][0]["row_count"] == pages.count()
+    assert manifest["snapshots"][0]["lineage"]
+
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["snapshots"][1]["row_count"] == 0  # resume: nothing left
+
+
+def test_package_zip(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "package.py")],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 0
+    import zipfile
+
+    with zipfile.ZipFile(os.path.join(repo, "dist", "engine.zip")) as z:
+        names = z.namelist()
+    assert "pdf_parser_spark/engine/api.py" in names
+    assert "fixtures/gen.py" in names
