@@ -1,0 +1,78 @@
+"""Re-run the physical-plan audit documented in PLANS.md.
+
+Asserts the load-bearing plan properties: column pruning through the
+extraction UDF, single ArrowEvalPython node, broadcast resume
+anti-join, predicate pushdown, broadcast query side in top-k.
+
+Usage: python scripts/audit_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from pdf_parser_spark.spark.job import resume_filter
+    from pdf_parser_spark.spark.session import build_session
+    from pdf_parser_spark.spark.udfs import with_extraction
+
+    spark = build_session("plan-audit", master="local[4]", shuffle_partitions=8)
+    checks = []
+
+    pages_src = entrymod._pages_df(spark, scale=1)
+    tmp = "/tmp/pdf_parser_spark_audit_pages.parquet"
+    if not os.path.exists(tmp + "/_SUCCESS"):
+        pages_src.write.mode("overwrite").parquet(tmp)
+    pages = spark.read.parquet(tmp)
+
+    # 1. column pruning through the UDF
+    p = plan_of(with_extraction(pages).select("url", "text_extracted"))
+    checks.append(("prune-to-url-html", "ReadSchema: struct<url:string,html:binary>" in p))
+    checks.append(("single-arrow-eval", p.count("ArrowEvalPython") == 1))
+    checks.append(("no-exchange-in-narrow-extract", "Exchange" not in p))
+
+    # 2. resume anti-join broadcasts a small committed side
+    p = plan_of(resume_filter(pages, pages.limit(10).select("url")))
+    checks.append(("broadcast-left-anti", "LeftAnti" in p and "Broadcast" in p))
+
+    # 3. predicate pushdown to the scan
+    p = plan_of(pages.filter(F.col("warc_ts") > 5).select("url"))
+    checks.append(("pushdown-warc-ts", "warc_ts" in p.split("DataFilters")[-1][:200]
+                   if "DataFilters" in p else False))
+
+    # 4. top-k broadcasts the query side
+    from pdf_parser_spark.ops.similarity import ann_cosine_topk
+
+    p = plan_of(ann_cosine_topk(spark, "/root/testdata/sf0.001"))
+    checks.append(("topk-broadcast-queries", "BroadcastNestedLoopJoin" in p))
+
+    # 5. arrow batch size applied
+    checks.append(
+        (
+            "arrow-batch-64",
+            spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "64",
+        )
+    )
+
+    spark.stop()
+    failed = [n for n, ok in checks if not ok]
+    for n, ok in checks:
+        print(("PASS " if ok else "FAIL ") + n)
+    if failed:
+        sys.exit(1)
+    print("plan audit: all checks passed")
+
+
+if __name__ == "__main__":
+    main()
