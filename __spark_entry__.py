@@ -73,11 +73,37 @@ def _extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entry(spark)
 
 
+def _extract_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every output format (SURVEY.md §2.1 S3-S8 + E6) over the
+    fixture corpus: per (url, fmt) md5 + length of the rendered text.
+    Non-SQL (rows-only check); format semantics are pinned by the
+    ported unit tests and golden fixtures."""
+    import functools
+
+    from pdf_parser_spark.spark.job import run_extract
+
+    pages = _pages_df(spark, scale=1)
+    parts = []
+    for fmt in ("txt", "md", "csv", "tsv", "text", "raw", "simple"):
+        ex = run_extract(pages, fmt=fmt, threshold=100_000)
+        parts.append(
+            ex.select(
+                "url",
+                F.lit(fmt).alias("fmt"),
+                F.md5(F.col("text_extracted").cast("binary")).alias("text_md5"),
+                F.length("text_extracted").alias("text_len"),
+                "decode_error_kind",
+            )
+        )
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_parser_spark.ops import all_queries
 
     out = {name: fn for name, (fn, _sql) in all_queries().items()}
     out["extract_pages"] = _extract_pages
+    out["extract_formats"] = _extract_formats
     return out
 
 

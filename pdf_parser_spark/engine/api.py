@@ -105,6 +105,20 @@ def pdf_to_raw_spans(data: bytes) -> str:
     return "".join(out)
 
 
+def pdf_to_simple_text(data: bytes) -> str:
+    """E6: line-grouped text with FIXED y-tolerance 3.0, spans joined
+    ' ', lines '\n' (document.rs:837-885 — deliberately distinct from
+    the layout path's font-size-relative tolerances); pages joined
+    '\n' like the other formats."""
+    doc = Document.parse(data)
+    out = []
+    for page_idx in range(doc.page_count()):
+        if out:
+            out.append("\n")
+        out.append(doc.extract_page_text_string(page_idx))
+    return "".join(out)
+
+
 def pdf_page_count(data: bytes) -> int:
     return Document.parse(data).page_count()
 
@@ -118,6 +132,7 @@ _FORMATS = {
     "tsv": pdf_to_tsv,
     "text": pdf_to_aligned_text,
     "raw": pdf_to_raw_spans,
+    "simple": pdf_to_simple_text,
 }
 
 
