@@ -29,7 +29,7 @@ def pdf_to_text(data: bytes) -> str:
     for page_idx in range(doc.page_count()):
         spans = doc.extract_page_text(page_idx)
         elements = classify_spans(spans)
-        if out:
+        if any(out):  # string-empty check (lib.rs !output.is_empty())
             out.append("\n")
         out.append(elements_to_txt(elements))
     return "".join(out)
@@ -41,7 +41,7 @@ def pdf_to_markdown(data: bytes) -> str:
     for page_idx in range(doc.page_count()):
         spans = doc.extract_page_text(page_idx)
         elements = classify_spans(spans)
-        if out:
+        if any(out):  # string-empty check (lib.rs !output.is_empty())
             out.append("\n")
         out.append(elements_to_markdown(elements))
     return "".join(out)
@@ -53,7 +53,7 @@ def pdf_to_csv(data: bytes) -> str:
     for page_idx in range(doc.page_count()):
         spans = doc.extract_page_text(page_idx)
         table = Table.from_spans(spans)
-        if out:
+        if any(out):  # string-empty check (lib.rs !output.is_empty())
             out.append("\n")
         out.append(table.to_csv())
     return "".join(out)
@@ -65,7 +65,7 @@ def pdf_to_tsv(data: bytes) -> str:
     out = []
     for page_idx in range(doc.page_count()):
         table = Table.from_spans(doc.extract_page_text(page_idx))
-        if out:
+        if any(out):  # string-empty check (lib.rs !output.is_empty())
             out.append("\n")
         out.append(table.to_tsv())
     return "".join(out)
@@ -77,7 +77,7 @@ def pdf_to_aligned_text(data: bytes) -> str:
     out = []
     for page_idx in range(doc.page_count()):
         table = Table.from_spans(doc.extract_page_text(page_idx))
-        if out:
+        if any(out):  # string-empty check (lib.rs !output.is_empty())
             out.append("\n")
         out.append(table.to_text())
     return "".join(out)
@@ -98,7 +98,7 @@ def pdf_to_raw_spans(data: bytes) -> str:
     out = []
     for page_idx in range(doc.page_count()):
         spans = doc.extract_page_text(page_idx)
-        if out:
+        if any(out):  # string-empty check (lib.rs !output.is_empty())
             out.append("\n--- Page {} ---\n")
         for s in spans:
             out.append(f"[{s.x:.1f}, {s.y:.1f}] ({_fmt_f64(s.font_size)}pt): {s.text}\n")
@@ -113,7 +113,7 @@ def pdf_to_simple_text(data: bytes) -> str:
     doc = Document.parse(data)
     out = []
     for page_idx in range(doc.page_count()):
-        if out:
+        if any(out):  # string-empty check (lib.rs !output.is_empty())
             out.append("\n")
         out.append(doc.extract_page_text_string(page_idx))
     return "".join(out)
@@ -169,7 +169,7 @@ def _txt_with_spans(doc: Document) -> tuple[str, list[tuple[int, int, str]], int
         page_text = "".join(page_parts).rstrip(RUST_WS)
         if page_text:
             page_text += "\n"
-        if pieces:
+        if any(pieces):  # string-empty check (lib.rs !output.is_empty())
             pieces.append("\n")
             offset += 1
         # clamp spans to the trimmed page text
