@@ -199,6 +199,231 @@ def gen_pdf(rng: random.Random) -> bytes:
     return b.build()
 
 
+def _tounicode_font(rng: random.Random) -> tuple[bytes, bytes, list[int]]:
+    """Random Type0 font with a ToUnicode CMap: returns (font dict
+    body referencing obj 7, cmap stream payload, valid CID list)."""
+    cids = sorted(rng.sample(range(0x20, 0x200), rng.randint(3, 8)))
+    dsts = [rng.randint(0x21, 0x7E) for _ in cids]
+    n_char = rng.randint(1, len(cids))
+    bfchar = b"".join(
+        b"<%04X> <%04X>\n" % (c, d) for c, d in zip(cids[:n_char], dsts[:n_char])
+    )
+    parts = [b"%d beginbfchar\n" % n_char + bfchar + b"endbfchar\n"]
+    rest = cids[n_char:]
+    if rest:
+        lo = rest[0]
+        hi = lo + rng.randint(0, 3)
+        if rng.random() < 0.5:
+            parts.append(
+                b"1 beginbfrange\n<%04X> <%04X> <%04X>\nendbfrange\n"
+                % (lo, hi, rng.randint(0x41, 0x6A))
+            )
+        else:
+            arr = b" ".join(
+                b"<%04X>" % rng.randint(0x21, 0x7E) for _ in range(hi - lo + 1)
+            )
+            parts.append(
+                b"1 beginbfrange\n<%04X> <%04X> [%s]\nendbfrange\n" % (lo, hi, arr)
+            )
+        cids = cids[:n_char] + list(range(lo, hi + 1))
+    else:
+        cids = cids[:n_char]
+    cmap = b"begincmap\n" + b"".join(parts) + b"endcmap\n"
+    font = b"<< /Type /Font /Subtype /Type0 /BaseFont /Fz /ToUnicode 7 0 R >>"
+    return font, cmap, cids
+
+
+def _cid_content(rng: random.Random, cids: list[int]) -> bytes:
+    ops = [b"BT", b"/F1 %s Tf" % _pos_num(rng, 8, 24),
+           b"%s %s Td" % (_pos_num(rng, 50, 400), _pos_num(rng, 50, 700))]
+    for _ in range(rng.randint(1, 6)):
+        seq = b"".join(b"%04X" % rng.choice(cids) for _ in range(rng.randint(1, 6)))
+        if rng.random() < 0.2:
+            seq += b"%02X" % rng.randint(0, 255)  # odd trailing byte
+        ops.append(b"<%s> Tj" % seq)
+        if rng.random() < 0.4:
+            ops.append(b"0 %s Td" % _fmt_num(rng))
+    ops.append(b"ET")
+    return b" ".join(ops)
+
+
+def gen_structured_pdf(rng: random.Random) -> bytes:
+    """Randomized DOCUMENT STRUCTURE around random content: classic
+    xref, nested page trees with wrong /Count, Contents arrays,
+    indirect /Length, incremental-update Prev chains, xref streams
+    with ObjStm (random /W widths and optional /Index), Type0
+    ToUnicode fonts."""
+    c = rng.random()
+    fonts = [b"F1", b"F2"]
+
+    if c < 0.18:
+        # Type0 + ToUnicode over a classic xref
+        font, cmap, cids = _tounicode_font(rng)
+        b = PdfBuilder()
+        b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        b.add(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                 b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+        b.add_stream(4, b"", _cid_content(rng, cids))
+        b.add(5, font)
+        b.add_stream(7, b"", cmap)
+        return b.build()
+
+    if c < 0.40:
+        # classic xref + nested page tree (wrong /Count) + Contents
+        # array + sometimes indirect /Length
+        b = PdfBuilder()
+        n_leaf = rng.randint(1, 3)
+        b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        b.add(2, b"<< /Type /Pages /Kids [8 0 R] /Count %d >>" % rng.randint(0, 9))
+        kids = b" ".join(b"%d 0 R" % (10 + i) for i in range(n_leaf))
+        b.add(8, b"<< /Type /Pages /Parent 2 0 R /Kids [%s] /Count %d >>"
+              % (kids, n_leaf))
+        b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica%s >>"
+              % rng.choice(ENCODINGS))
+        b.add(6, b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier%s >>"
+              % rng.choice(ENCODINGS))
+        res = b"/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >>"
+        for i in range(n_leaf):
+            if rng.random() < 0.4:
+                # Contents array: streams concatenated with \n
+                parts = [_content_stream(rng, fonts) for _ in range(2)]
+                b.add_stream(30 + 2 * i, b"", parts[0])
+                b.add_stream(31 + 2 * i, b"", parts[1])
+                contents = b"[%d 0 R %d 0 R]" % (30 + 2 * i, 31 + 2 * i)
+            else:
+                content = _content_stream(rng, fonts)
+                if rng.random() < 0.3:
+                    b.add(30 + 2 * i, b"<< /Length %d 0 R >>\nstream\n"
+                          % (50 + i) + content + b"\nendstream")
+                    b.add(50 + i, b"%d" % len(content))
+                else:
+                    b.add_stream(30 + 2 * i, b"", content)
+                contents = b"%d 0 R" % (30 + 2 * i)
+            b.add(10 + i, b"<< /Type /Page /Parent 8 0 R "
+                  b"/MediaBox [0 0 612 792] /Contents %s %s >>" % (contents, res))
+        return b.build()
+
+    if c < 0.65:
+        # incremental update replacing the content stream
+        b = PdfBuilder()
+        b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        b.add(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                 b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+        b.add_stream(4, b"", _content_stream(rng, [b"F1"]))
+        b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica%s >>"
+              % rng.choice(ENCODINGS))
+        base = b.build()
+        base_xref_off = base.rfind(b"\nxref\n") + 1
+        out = bytearray(base)
+        for _ in range(rng.randint(1, 2)):
+            new_content = _content_stream(rng, [b"F1"])
+            obj_off = len(out)
+            out += (b"4 0 obj\n<< /Length %d >>\nstream\n" % len(new_content)
+                    + new_content + b"\nendstream\nendobj\n")
+            new_xref_off = len(out)
+            out += b"xref\n4 1\n%010d 00000 n \n" % obj_off
+            out += (b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\n"
+                    b"startxref\n%d\n%%%%EOF\n" % (base_xref_off, new_xref_off))
+            base_xref_off = new_xref_off
+        return bytes(out)
+
+    # xref stream + ObjStm with random /W widths and optional /Index
+    content = _content_stream(rng, [b"F1"])
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 8 0 R >> >> >>"),
+        (8, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica%s >>"
+            % rng.choice(ENCODINGS)),
+    ]
+    bodies = b""
+    header_pairs = []
+    for num, body in inner:
+        header_pairs.append(b"%d %d" % (num, len(bodies)))
+        bodies += body + b" "
+    header = b" ".join(header_pairs) + b"\n"
+    objstm_payload = header + bodies
+    first = len(header)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    offsets[4] = len(out)
+    if rng.random() < 0.5:
+        payload, filt = zlib.compress(content), b" /Filter /FlateDecode"
+    else:
+        payload, filt = content, b""
+    out += (b"4 0 obj\n<< /Length %d%s >>\nstream\n" % (len(payload), filt)
+            + payload + b"\nendstream\nendobj\n")
+    compressed = zlib.compress(objstm_payload)
+    offsets[5] = len(out)
+    out += (b"5 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+            b"/Filter /FlateDecode >>\nstream\n"
+            % (len(inner), first, len(compressed))
+            + compressed + b"\nendstream\nendobj\n")
+    xref_off = len(out)
+    w2 = rng.choice([2, 3, 4])  # offset field width
+    rows = [
+        (0, 0, 0),
+        (2, 5, 0), (2, 5, 1), (2, 5, 2),   # 1..3 in ObjStm idx 0..2
+        (1, offsets[4], 0),
+        (1, offsets[5], 0),
+        (1, xref_off, 0),                   # 6: the xref stream itself
+        (0, 0, 0),                          # 7: free
+        (2, 5, 3),                          # 8: font in ObjStm idx 3
+    ]
+    data = bytearray()
+    for t, f2, f3 in rows:
+        data += bytes([t]) + f2.to_bytes(w2, "big") + f3.to_bytes(1, "big")
+    xdata = zlib.compress(bytes(data))
+    index = b" /Index [0 9]" if rng.random() < 0.5 else b""
+    out += (b"6 0 obj\n<< /Type /XRef /Size 9 /W [1 %d 1]%s /Root 1 0 R "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n"
+            % (w2, index, len(xdata)) + xdata + b"\nendstream\nendobj\n")
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
+def _run_diff(ref_bin, data: bytes, label: str) -> list:
+    diffs = []
+    with tempfile.NamedTemporaryFile(suffix=".pdf", delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        for fmt, flag in FLAG.items():
+            r = subprocess.run([ref_bin, path, flag], capture_output=True,
+                               timeout=60)
+            try:
+                ours = FN[fmt](data) + "\n"
+            except PdfError:
+                ours = None
+            if r.returncode != 0:
+                if ours is not None:
+                    diffs.append((label, fmt, "ref-failed", r.stderr[:120]))
+                continue
+            ref = r.stdout.decode("utf-8", "replace")
+            if ours is None:
+                ours = "\n"
+            if ref != ours:
+                diffs.append((label, fmt, repr(ref[:80]), repr(ours[:80])))
+    finally:
+        os.unlink(path)
+    return diffs
+
+
+def test_fuzz_structure_byte_identity(ref_bin):
+    rng = random.Random(SEED + 1)
+    for doc_i in range(150):
+        data = gen_structured_pdf(rng)
+        diffs = _run_diff(ref_bin, data, f"struct-{doc_i}")
+        if diffs:
+            sys.stderr.write(f"repro: seed={SEED + 1} doc={doc_i}\n")
+            sys.stderr.write(data.hex()[:4000] + "\n")
+        assert not diffs, diffs[:5]
+
+
 def test_fuzz_byte_identity(ref_bin):
     rng = random.Random(SEED)
     diffs = []
