@@ -37,6 +37,16 @@ _HEXVAL = {c: int(chr(c), 16) for c in _HEX}
 
 IDENTITY_MATRIX = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
+# C-speed scanners for the content-stream hot path (semantics are
+# identical to the byte loops they replace; byte-identity is guarded
+# by the differential fuzzer against the reference binary)
+import re as _re
+
+_WS_RE = _re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\n]*)+")
+_NUM_RE = _re.compile(rb"[+-]?[0-9.]*")
+_OP_RE = _re.compile(rb"[A-Za-z*'\"]*")
+_STR_PLAIN_RE = _re.compile(rb"[^()\\]+")
+
 
 class TextSpan:
     """Positioned text fragment in page space
@@ -114,32 +124,77 @@ class ContentParser:
     # -- main loop ------------------------------------------------------
 
     def parse(self) -> list[TextSpan]:
+        """Flat operand/operator dispatch loop.
+
+        Semantics are the two-level loop of the reference
+        (content/parser.rs:97-134): operands accumulate until an
+        operator byte executes them; a non-operand byte (inline dict,
+        stray delimiter, unknown) DISCARDS the pending operands.  The
+        loop keeps ``pos`` in a local and inlines the hot token
+        classes (whitespace, numbers, operators) — profiling showed
+        per-token method-call overhead dominating 60-page documents.
+        """
         data, n = self.data, len(self.data)
-        while self.pos < n:
-            self._skip_ws()
-            if self.pos >= n:
+        ws_match, num_match, op_match = _WS_RE.match, _NUM_RE.match, _OP_RE.match
+        execute = self._execute
+        pos = self.pos
+        operands: list = []
+        while True:
+            m = ws_match(data, pos)
+            if m is not None:
+                pos = m.end()
+            if pos >= n:
                 break
-            operands: list = []
-            while True:
-                self._skip_ws()
-                if self.pos >= n:
-                    break
-                b = data[self.pos]
-                if b in _ALPHA or b in (0x27, 0x22):  # operator, ' or "
-                    op = self._read_operator()
-                    self._execute(op, operands)
-                    break
-                before = self.pos
-                operand = self._parse_operand()
-                if operand is not None:
-                    operands.append(operand)
+            b = data[pos]
+            if 0x30 <= b <= 0x39 or b in (0x2E, 0x2B, 0x2D):  # number
+                m = num_match(data, pos)
+                pos = m.end()
+                text = m.group()
+                try:
+                    operands.append(float(text))
+                except ValueError:
+                    self.pos = pos
+                    raise ParseError(
+                        m.start(), f"Invalid number: {text.decode('latin-1')}"
+                    ) from None
+            elif b in _ALPHA or b in (0x27, 0x22):  # operator, ' or "
+                m = op_match(data, pos)
+                pos = m.end()
+                self.pos = pos
+                execute(m.group().decode("latin-1"), operands)
+                pos = self.pos
+                operands = []
+            elif b == 0x28:  # ( literal string
+                self.pos = pos
+                operands.append(self._read_string())
+                pos = self.pos
+            elif b == 0x3C:  # < hex string or << inline dict
+                if pos + 1 < n and data[pos + 1] == 0x3C:
+                    self.pos = pos + 1
+                    self._skip_dict()
+                    pos = self.pos
+                    operands = []  # non-operand: discard pending
                 else:
-                    # Divergence from the reference (which would spin
-                    # forever on a stray ']'/'>' at top level,
-                    # content/parser.rs:295): ensure forward progress.
-                    if self.pos == before:
-                        self.pos += 1
-                    break
+                    self.pos = pos + 1
+                    operands.append(self._read_hex_string())
+                    pos = self.pos
+            elif b == 0x2F:  # / name
+                self.pos = pos
+                operands.append(self._read_name())
+                pos = self.pos
+            elif b == 0x5B:  # [ array
+                self.pos = pos
+                operands.append(self._read_array())
+                pos = self.pos
+            else:
+                # stray ']'/'>' or unknown byte: skip it and discard
+                # pending operands (reference breaks its operand loop;
+                # the +1 is our forward-progress guard for the stray
+                # delimiters the reference would spin on,
+                # content/parser.rs:295)
+                pos += 1
+                operands = []
+        self.pos = pos
         return self._merge_adjacent_spans()
 
     # -- span merging (content/parser.rs:137-222) ------------------------
@@ -212,30 +267,14 @@ class ContentParser:
     #    object lexer; the rules differ subtly — see each method) --------
 
     def _skip_ws(self) -> None:
-        data, n = self.data, len(self.data)
-        pos = self.pos
-        while pos < n:
-            b = data[pos]
-            if b in _WS_BYTES:
-                pos += 1
-            elif b == 0x25:  # % comment: to LF only (parser.rs:229-233)
-                while pos < n and data[pos] != 0x0A:
-                    pos += 1
-            else:
-                break
-        self.pos = pos
+        m = _WS_RE.match(self.data, self.pos)
+        if m is not None:
+            self.pos = m.end()
 
     def _read_operator(self) -> str:
-        data, n = self.data, len(self.data)
-        start = pos = self.pos
-        while pos < n:
-            b = data[pos]
-            if b in _ALPHA or b in (0x2A, 0x27, 0x22):  # alpha * ' "
-                pos += 1
-            else:
-                break
-        self.pos = pos
-        return data[start:pos].decode("latin-1")
+        m = _OP_RE.match(self.data, self.pos)
+        self.pos = m.end()
+        return m.group().decode("latin-1")
 
     def _parse_operand(self):
         """One operand or ``None`` (reference: content/parser.rs:252-304).
@@ -270,16 +309,13 @@ class ContentParser:
         return None
 
     def _read_number(self) -> float:
-        data, n = self.data, len(self.data)
-        start = pos = self.pos
-        if pos < n and data[pos] in (0x2B, 0x2D):
-            pos += 1
-        # NOTE: multiple '.' are consumed here and rejected by the float
-        # parse, exactly like the reference (content/parser.rs:315-331).
-        while pos < n and data[pos] in _DIGITS_DOT:
-            pos += 1
-        self.pos = pos
-        text = data[start:pos]
+        # NOTE: multiple '.' are consumed by the regex and rejected by
+        # the float parse, exactly like the reference
+        # (content/parser.rs:315-331).
+        start = self.pos
+        m = _NUM_RE.match(self.data, start)
+        self.pos = m.end()
+        text = m.group()
         try:
             return float(text)
         except ValueError:
@@ -293,6 +329,13 @@ class ContentParser:
         out = bytearray()
         depth = 1
         while pos < n and depth > 0:
+            m = _STR_PLAIN_RE.match(data, pos)
+            if m is not None:
+                # bulk-copy a run with no ( ) \ — cannot change depth
+                out += m.group()
+                pos = m.end()
+                if pos >= n:
+                    break
             b = data[pos]
             pos += 1
             if b == 0x28:
