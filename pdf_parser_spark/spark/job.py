@@ -59,25 +59,33 @@ def run_extract(
     threshold: int = DEFAULT_HEAVY_TAIL_BYTES,
     normal_partitions: int | None = None,
     heavy_partitions: int | None = None,
+    bucket_normal: bool = False,
 ) -> DataFrame:
     """Two-pass extraction plan with explicit compute-skew routing.
 
-    The normal class is bucketed by ``xxhash64(url)`` at the default
-    parallelism; the heavy class is spread one-document-per-task-ish
-    so giant documents never straggle a batch.  Both passes are narrow
-    maps after their single repartition; union is metadata-only.
+    The normal class stays a **narrow map over the input splits**: the
+    size threshold bounds per-document cost, so byte-balanced scan
+    splits (``spark.sql.files.maxPartitionBytes``) are already
+    compute-balanced — shuffling 100 TB of raw bytes in front of a
+    narrow map would be the single largest cost in the whole job.
+    Bucketing-by-url happens where it pays: on the **extracted output**
+    (~10x smaller than the raw bytes) at write time, and on the heavy
+    class here.  ``bucket_normal=True`` restores the input-side
+    repartition for sources with pathological split skew.
+
+    The heavy class is where compute skew lives (cost is unbounded
+    above the threshold), so it IS spread via ``xxhash64(url)`` —
+    one-giant-document-per-task-ish, never straggling a 2000-row
+    partition.
     """
     sc = pages.sparkSession.sparkContext
-    # normal class: 2x parallelism for load balance across cheap docs;
-    # heavy class: 1x — the class is small by construction and every
-    # post-shuffle partition pays a Python-worker task even when empty
-    n_norm = normal_partitions or sc.defaultParallelism * 2
     n_heavy = heavy_partitions or sc.defaultParallelism
 
     classed = classify_size(pages, threshold)
-    normal = classed.filter(F.col("size_class") == "normal").repartition(
-        n_norm, F.xxhash64("url")
-    )
+    normal = classed.filter(F.col("size_class") == "normal")
+    if bucket_normal:
+        n_norm = normal_partitions or sc.defaultParallelism * 2
+        normal = normal.repartition(n_norm, F.xxhash64("url"))
     heavy = classed.filter(F.col("size_class") == "heavy").repartition(
         n_heavy, F.xxhash64("url")
     )
@@ -115,12 +123,22 @@ def resume_filter(pages: DataFrame, committed: DataFrame) -> DataFrame:
     return pages.join(committed.select("url"), on="url", how="left_anti")
 
 
-def write_output(extracted: DataFrame, path: str, mode: str = "append") -> None:
+def write_output(
+    extracted: DataFrame, path: str, mode: str = "append",
+    buckets: int | None = None,
+) -> None:
     """Parquet sink partitioned by size_class (Iceberg ``writeTo`` on
     clusters with a catalog; partitionBy keeps the heavy tail isolated
-    for later audits and re-runs)."""
+    for later audits and re-runs).  The OUTPUT is bucketed by
+    ``xxhash64(url)`` — this is where bucketing-by-url belongs: the
+    extracted text is ~10x smaller than the raw bytes, and the
+    url-clustered layout is what the resume anti-join and downstream
+    dedup joins key on."""
+    sc = extracted.sparkSession.sparkContext
+    n = buckets or sc.defaultParallelism * 2
     (
-        extracted.write.mode(mode)
+        extracted.repartition(n, F.xxhash64("url"))
+        .write.mode(mode)
         .partitionBy("size_class")
         .parquet(path)
     )
