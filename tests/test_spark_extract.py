@@ -96,7 +96,15 @@ def test_resume_anti_join(spark, pages_df):
 
 
 def test_extract_plan_is_narrow_after_repartition(spark, pages_df):
-    # the extract stage must not shuffle beyond its single repartition:
-    # no Exchange between the UDF and the scan apart from the routing one
+    # default plan: the normal class is a NARROW map over the input
+    # splits — the ONLY exchange is the heavy-class spread (shuffling
+    # 100 TB of raw bytes in front of a narrow map is the most
+    # expensive mistake available at scale)
     plan = run_extract(pages_df, threshold=100_000)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") <= 3  # 2 routing repartitions + union coalesce
+    assert plan.count("Exchange") == 1  # heavy-class xxhash64(url) spread
+
+    # opt-in input-side bucketing for pathological split skew
+    bucketed = run_extract(
+        pages_df, threshold=100_000, bucket_normal=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert bucketed.count("Exchange") == 2
