@@ -46,6 +46,10 @@ BENCH_OPS = [
     "text_lang_id",
     "text_fingerprint",
     "multimodal_features",
+    "contamination_ngram",
+    "domain_stats",
+    "sample_hash",
+    "pii_redact",
     "heavy_tail_classes",
     "lineage_by_source",
     "resume_anti_join",

@@ -16,9 +16,16 @@ Registry contract: every module exposes ``QUERIES: dict[name ->
 """
 
 def all_queries():
-    from pdf_parser_spark.ops import dedup, multimodal, pipeline, similarity, textstats
+    from pdf_parser_spark.ops import (
+        curation,
+        dedup,
+        multimodal,
+        pipeline,
+        similarity,
+        textstats,
+    )
 
     out = {}
-    for mod in (dedup, similarity, textstats, multimodal, pipeline):
+    for mod in (dedup, similarity, textstats, multimodal, pipeline, curation):
         out.update(mod.QUERIES)
     return out

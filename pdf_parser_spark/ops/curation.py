@@ -1,0 +1,195 @@
+"""Corpus-curation operators: benchmark-contamination detection,
+corpus-composition rollups, deterministic hash sampling, PII
+redaction.
+
+These are the curation stages a training-data pipeline runs between
+extraction and dedup.  All Spark plans are built-in functions (one
+narrow scan; the contamination check broadcasts the small benchmark
+side), each with a value-exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pdf_parser_spark.ops.common import (
+    DEDUP_CORPUS_SQL,
+    dedup_corpus,
+    h32,
+    h32_sql,
+    load_table,
+    roundn,
+    roundn_sql,
+    shingles,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
+
+CONTAM_N = 8        # benchmark-overlap shingle width (13-gram style check,
+                    # scaled to the short synthetic docs)
+CONTAM_MOD = 97     # benchmark set = original docs with doc_id % 97 == 0
+SAMPLE_PCT = 5      # hash-sample keeps buckets 0..4 of 100
+
+# Java-regex / RE2 common subset (no \d, no lookaround) so Spark and
+# DuckDB match byte-for-byte
+EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+"
+PHONE_RE = r"\+1-555-[0-9][0-9][0-9][0-9]"
+
+
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag corpus documents whose
+    word-8-grams overlap a held-out benchmark set (the n-gram-collision
+    decontamination check run before training).  The benchmark side is
+    tiny and **broadcast**; the corpus side is one narrow
+    scan + explode — no corpus shuffle until the final per-doc agg.
+
+    Benchmark = original docs with ``doc_id % 97 == 0``; the dedup
+    corpus's perturbed twins guarantee non-trivial hits.
+    """
+    corpus = dedup_corpus(spark, sf_dir)
+    grams = corpus.select(
+        "doc_id",
+        F.explode(shingles(tokens(F.col("text")), CONTAM_N)).alias("gram"),
+    )
+    is_bench = (F.col("doc_id") % CONTAM_MOD == 0) & (F.col("doc_id") < 1000000)
+    bench = grams.filter(is_bench).select("gram").distinct()
+    corp = grams.filter(~is_bench)
+    return (
+        corp.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hit_grams"))
+    )
+
+
+CONTAMINATION_NGRAM_SQL = f"""{DEDUP_CORPUS_SQL},
+tok2 AS (
+  SELECT doc_id, {tokens_sql("text")} AS t FROM corpus
+),
+sh AS (
+  SELECT doc_id, {shingles_sql("t", CONTAM_N)} AS s FROM tok2
+),
+grams AS (
+  SELECT doc_id, unnest(s) AS gram FROM sh
+),
+bench AS (
+  SELECT DISTINCT gram FROM grams
+  WHERE doc_id % {CONTAM_MOD} = 0 AND doc_id < 1000000
+),
+corp AS (
+  SELECT doc_id, gram FROM grams
+  WHERE NOT (doc_id % {CONTAM_MOD} = 0 AND doc_id < 1000000)
+)
+SELECT c.doc_id, count(DISTINCT c.gram) AS n_hit_grams
+FROM corp c JOIN bench b USING (gram)
+GROUP BY c.doc_id
+"""
+
+
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition rollup per (source, lang): the report every
+    curation pass starts from — doc counts, char volume, size
+    distribution.  One shuffle on a low-cardinality key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("n_chars").alias("total_chars"),
+        roundn(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+DOMAIN_STATS_SQL = f"""
+SELECT source, lang,
+       count(*) AS doc_count,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       {roundn_sql("avg(n_chars)", 4)} AS avg_chars,
+       max(n_chars) AS max_chars,
+       min(doc_id) AS first_doc
+FROM documents
+GROUP BY source, lang
+"""
+
+
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling: keep h32(doc_id) % 100 < 5 — the
+    reproducible, rerun-stable way to cut an eval slice at 100 TB
+    (``TABLESAMPLE`` / ``rand()`` are neither deterministic across
+    engines nor stable across reruns).  Pure narrow filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = h32(F.col("doc_id").cast("string")) % 100
+    return docs.filter(bucket < SAMPLE_PCT).select(
+        "doc_id",
+        bucket.alias("sample_bucket"),
+        "lang",
+        "n_chars",
+    )
+
+
+SAMPLE_HASH_SQL = f"""
+SELECT doc_id,
+       ({h32_sql("doc_id::VARCHAR")} % 100) AS sample_bucket,
+       lang, n_chars
+FROM documents
+WHERE ({h32_sql("doc_id::VARCHAR")} % 100) < {SAMPLE_PCT}
+"""
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact email/phone patterns.  Synthetic
+    PII is injected deterministically (every 7th doc) so the oracle is
+    non-trivial; the redaction itself is two regexp_replace passes —
+    JVM-side, WholeStageCodegen, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    n_emails = F.size(F.regexp_extract_all(injected, F.lit(EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(injected, F.lit(PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(injected, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
+PII_REDACT_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || doc_id::VARCHAR
+                   || '@example.com or +1-555-'
+                   || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5,
+       length(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_len
+FROM aug
+"""
+
+
+QUERIES = {
+    "contamination_ngram": (contamination_ngram, CONTAMINATION_NGRAM_SQL),
+    "domain_stats": (domain_stats, DOMAIN_STATS_SQL),
+    "sample_hash": (sample_hash, SAMPLE_HASH_SQL),
+    "pii_redact": (pii_redact, PII_REDACT_SQL),
+}

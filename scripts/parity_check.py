@@ -10,9 +10,12 @@ Usage: python scripts/parity_check.py [sf_dir] [name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
