@@ -31,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True,
-                    help="pages table: parquet path or iceberg:<catalog.table>")
+                    help="pages table: parquet path, iceberg:<catalog.table>, "
+                         "or warc:<path-glob> (raw crawl archives)")
     ap.add_argument("--output", required=True,
                     help="output table: parquet dir or iceberg:<catalog.table>")
     ap.add_argument("--format", default="txt",
@@ -42,6 +43,13 @@ def main() -> None:
                     help="payload bytes above which a doc is heavy-tail routed")
     ap.add_argument("--master", default=None,
                     help="override master (default: whatever spark-submit set)")
+    ap.add_argument("--stream", action="store_true",
+                    help="continuous-ingest mode: drain new files from a "
+                         "parquet landing dir via Structured Streaming "
+                         "(availableNow + checkpoint file-log resume)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint dir for --stream (default: "
+                         "<output>/_checkpoint)")
     args = ap.parse_args()
 
     from pdf_parser_spark.spark.job import lineage, resume_filter, run_extract
@@ -50,8 +58,24 @@ def main() -> None:
 
     spark = build_session("pdf-parser-spark-extract", master=args.master)
 
+    if args.stream:
+        from pdf_parser_spark.streaming import stream_extract
+
+        cp = args.checkpoint or f"{args.output}/_checkpoint"
+        stream_extract(
+            spark, args.input, args.output, cp,
+            fmt=args.format, threshold=args.heavy_threshold,
+        )
+        print(f"stream drained into {args.output} (checkpoint {cp})")
+        spark.stop()
+        return
+
     if args.input.startswith("iceberg:"):
         pages = open_table(spark, args.input).read()
+    elif args.input.startswith("warc:"):
+        from pdf_parser_spark.sources import read_warc_pages
+
+        pages = read_warc_pages(spark, args.input[len("warc:"):])
     else:
         pages = spark.read.parquet(args.input)
 
