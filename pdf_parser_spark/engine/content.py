@@ -43,6 +43,12 @@ IDENTITY_MATRIX = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 import re as _re
 
 _WS_RE = _re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\n]*)+")
+# O(1) whitespace test for the parse loop's per-token fast path (a
+# regex match allocates a Match object per token; most separators are
+# a single space)
+_IS_WS = bytearray(256)
+for _b in b"\x00\t\n\x0c\r ":
+    _IS_WS[_b] = 1
 _NUM_RE = _re.compile(rb"[+-]?[0-9.]*")
 _OP_RE = _re.compile(rb"[A-Za-z*'\"]*")
 _STR_PLAIN_RE = _re.compile(rb"[^()\\]+")
@@ -135,17 +141,23 @@ class ContentParser:
         per-token method-call overhead dominating 60-page documents.
         """
         data, n = self.data, len(self.data)
-        ws_match, num_match, op_match = _WS_RE.match, _NUM_RE.match, _OP_RE.match
+        num_match, op_match = _NUM_RE.match, _OP_RE.match
+        is_ws = _IS_WS
         execute = self._execute
         pos = self.pos
         operands: list = []
         while True:
-            m = ws_match(data, pos)
-            if m is not None:
-                pos = m.end()
+            while pos < n:
+                b = data[pos]
+                if is_ws[b]:
+                    pos += 1
+                elif b == 0x25:  # % comment to end of line
+                    e = data.find(b"\n", pos)
+                    pos = n if e < 0 else e + 1
+                else:
+                    break
             if pos >= n:
                 break
-            b = data[pos]
             if 0x30 <= b <= 0x39 or b in (0x2E, 0x2B, 0x2D):  # number
                 m = num_match(data, pos)
                 pos = m.end()
@@ -450,8 +462,28 @@ class ContentParser:
     # -- operators (content/parser.rs:490-690) ----------------------------
 
     def _execute(self, op: str, operands: list) -> None:
+        # chain ordered by operator frequency in real content streams
+        # (Tj/TJ/Td dominate); branches are mutually exclusive so order
+        # is semantics-free
         state = self.state
-        if op == "q":
+        if op == "Tj":
+            if operands and isinstance(operands[-1], bytes):
+                self._add_text_span(operands[-1])
+        elif op == "TJ":
+            if operands and isinstance(operands[-1], list):
+                self._execute_tj(operands[-1])
+        elif op == "Td":
+            if (
+                len(operands) >= 2
+                and isinstance(operands[-2], float)
+                and isinstance(operands[-1], float)
+            ):
+                # += on e,f only — not a true matrix multiply; the
+                # reference does the same (parser.rs:551-554)
+                state.line_matrix[4] += operands[-2]
+                state.line_matrix[5] += operands[-1]
+                state.text_matrix = state.line_matrix[:]
+        elif op == "q":
             self.state_stack.append(state.copy())
         elif op == "Q":
             if self.state_stack:
@@ -478,17 +510,6 @@ class ContentParser:
         elif op == "Tw":
             if operands and isinstance(operands[-1], float):
                 state.word_spacing = operands[-1]
-        elif op == "Td":
-            if (
-                len(operands) >= 2
-                and isinstance(operands[-2], float)
-                and isinstance(operands[-1], float)
-            ):
-                # += on e,f only — not a true matrix multiply; the
-                # reference does the same (parser.rs:551-554)
-                state.line_matrix[4] += operands[-2]
-                state.line_matrix[5] += operands[-1]
-                state.text_matrix = state.line_matrix[:]
         elif op == "TD":
             if (
                 len(operands) >= 2
@@ -508,12 +529,6 @@ class ContentParser:
         elif op == "T*":
             state.line_matrix[5] -= state.leading
             state.text_matrix = state.line_matrix[:]
-        elif op == "Tj":
-            if operands and isinstance(operands[-1], bytes):
-                self._add_text_span(operands[-1])
-        elif op == "TJ":
-            if operands and isinstance(operands[-1], list):
-                self._execute_tj(operands[-1])
         elif op == "'":
             state.line_matrix[5] -= state.leading
             state.text_matrix = state.line_matrix[:]
