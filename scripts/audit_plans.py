@@ -57,6 +57,21 @@ def main() -> None:
     p = plan_of(ann_cosine_topk(spark, "/root/testdata/sf0.001"))
     checks.append(("topk-broadcast-queries", "BroadcastNestedLoopJoin" in p))
 
+    # 4b. contamination check broadcasts the benchmark side (the
+    # corpus side must never shuffle its grams to a benchmark join)
+    from pdf_parser_spark.ops.curation import contamination_ngram, pii_redact
+
+    p = plan_of(contamination_ngram(spark, "/root/testdata/sf0.001"))
+    checks.append(("contamination-broadcast-bench", "BroadcastHashJoin" in p))
+
+    # 4c. PII redaction stays a narrow codegen scan — no exchange,
+    # no Python
+    p = plan_of(pii_redact(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("pii-redact-narrow-codegen",
+         "Exchange" not in p and "ArrowEvalPython" not in p)
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (
