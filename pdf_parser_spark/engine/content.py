@@ -26,12 +26,7 @@ RUST_WS = (
 )
 
 _WS_BYTES = frozenset(b" \t\n\r\x0c\x00")
-_DIGITS_DOT = frozenset(b"0123456789.")
 _HEX = frozenset(b"0123456789abcdefABCDEF")
-_NAME_CHARS = frozenset(
-    b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_-+."
-)
-_ALPHA = frozenset(b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 _OCTAL = frozenset(b"01234567")
 _HEXVAL = {c: int(chr(c), 16) for c in _HEX}
 
@@ -42,16 +37,104 @@ IDENTITY_MATRIX = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 # by the differential fuzzer against the reference binary)
 import re as _re
 
-_WS_RE = _re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\n]*)+")
-# O(1) whitespace test for the parse loop's per-token fast path (a
-# regex match allocates a Match object per token; most separators are
-# a single space)
-_IS_WS = bytearray(256)
-for _b in b"\x00\t\n\x0c\r ":
-    _IS_WS[_b] = 1
-_NUM_RE = _re.compile(rb"[+-]?[0-9.]*")
-_OP_RE = _re.compile(rb"[A-Za-z*'\"]*")
 _STR_PLAIN_RE = _re.compile(rb"[^()\\]+")
+
+# Master tokenizers: one C-level match per token (leading whitespace +
+# comments folded into the same match).  Two contexts because the
+# reference's operand loop (content/parser.rs:97-134) and its in-array
+# loop (:447-464) classify bytes differently: at top level an operator
+# run executes and `'`/`"` start operators, while inside an array
+# alphabetic bytes are skipped one class at a time, `>`/`]` are bare
+# delimiters, and an unknown byte consumes the byte AFTER it too
+# (parse_operand's advance + the array loop's `pos += 1`, :460).
+_WS_PREFIX = rb"(?:[\x00\t\n\x0c\r ]+|%[^\n]*)*"
+
+# Fused "superop" alternatives: one C-level match for the stereotyped
+# instruction sequences every PDF writer emits (Tf/Tm/Td/Tj/TJ runs).
+# Each is built ONLY from patterns token-equivalent to the generic
+# alternatives below — a strict float-parseable number with a
+# maximal-munch guard (so `1.2.3` still falls through to the generic
+# path and raises, like the reference), an operator-boundary guard,
+# plain (comment-free) whitespace, and escape-free literal strings.
+# Anything off-pattern simply fails the superop and is re-lexed one
+# token at a time, so byte-identity is preserved by construction.
+_N = rb"[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?![0-9.])"
+_W = rb"[\x00\t\n\x0c\r ]*"
+_W1 = rb"[\x00\t\n\x0c\r ]+"
+_G = rb"(?![A-Za-z*'\"])"  # operator token ends here
+_NAME_B = rb"[A-Za-z0-9_\-+.]*"
+_PSTR = rb"\([^()\\]*\)"
+
+_SUPER_LINE = (  # /F1 12 Tf a b c d e f Tm (text) Tj
+    rb"/(?P<lf_n>" + _NAME_B + rb")" + _W1 + rb"(?P<lf_s>" + _N + rb")"
+    + _W + rb"Tf" + _G + _W
+    + rb"(?P<lf_a>" + _N + rb")" + _W1 + rb"(?P<lf_b>" + _N + rb")" + _W1
+    + rb"(?P<lf_c>" + _N + rb")" + _W1 + rb"(?P<lf_d>" + _N + rb")" + _W1
+    + rb"(?P<lf_e>" + _N + rb")" + _W1 + rb"(?P<lf_f>" + _N + rb")"
+    + _W + rb"Tm" + _G + _W
+    + rb"\((?P<lf_t>[^()\\]*)\)" + _W + rb"Tj" + _G + rb"(?P<LINE>)"
+)
+_SUPER_TF = (
+    rb"/(?P<tf_n>" + _NAME_B + rb")" + _W1 + rb"(?P<tf_s>" + _N + rb")"
+    + _W + rb"Tf" + _G + rb"(?P<TF>)"
+)
+_SUPER_TM = (
+    rb"(?P<tm_a>" + _N + rb")" + _W1 + rb"(?P<tm_b>" + _N + rb")" + _W1
+    + rb"(?P<tm_c>" + _N + rb")" + _W1 + rb"(?P<tm_d>" + _N + rb")" + _W1
+    + rb"(?P<tm_e>" + _N + rb")" + _W1 + rb"(?P<tm_f>" + _N + rb")"
+    + _W + rb"Tm" + _G + rb"(?P<TM>)"
+)
+_SUPER_TD = (
+    rb"(?P<td_x>" + _N + rb")" + _W1 + rb"(?P<td_y>" + _N + rb")"
+    + _W + rb"(?P<td_o>T[dD])" + _G + rb"(?P<TD>)"
+)
+_SUPER_TJA = (  # [ (str) -n (str) ... ] TJ with only simple items
+    rb"\[(?P<ta>(?:[\x00\t\n\x0c\r ]|" + _PSTR + rb"|" + _N + rb")*)\]"
+    + _W + rb"TJ" + _G + rb"(?P<TJA>)"
+)
+_SUPER_TJS = rb"\((?P<tj_t>[^()\\]*)\)" + _W + rb"Tj" + _G + rb"(?P<TJS>)"
+_TJ_ITEM_RE = _re.compile(rb"(" + _PSTR + rb")|(" + _N + rb")")
+
+_TOK_RE = _re.compile(
+    _WS_PREFIX
+    + rb"(?:"
+    + _SUPER_LINE
+    + rb"|" + _SUPER_TF
+    + rb"|" + _SUPER_TM
+    + rb"|" + _SUPER_TD
+    + rb"|" + _SUPER_TJA
+    + rb"|" + _SUPER_TJS
+    + rb"|(?P<num>[0-9.][0-9.]*|[+-][0-9.]*)"
+    + rb"|(?P<op>[A-Za-z'\"][A-Za-z*'\"]*)"
+    + rb"|\((?P<sstr>[^()\\]*)\)"  # escape/nesting-free literal string
+    + rb"|(?P<name>/[A-Za-z0-9_\-+.]*)"
+    + rb"|(?P<arr>\[)"
+    + rb"|(?P<dict><<)"
+    + rb"|(?P<hex><)"
+    + rb"|(?P<lparen>\()"  # string needing the full scanner
+    + rb"|(?P<end>\Z)"
+    + rb"|(?P<other>.)"  # stray ']', '>', unknown: skip + discard
+    + rb")",
+    _re.S,
+)
+_ARR_TOK_RE = _re.compile(
+    _WS_PREFIX
+    + rb"(?:"
+    + rb"(?P<num>[0-9.][0-9.]*|[+-][0-9.]*)"
+    + rb"|\((?P<sstr>[^()\\]*)\)"
+    + rb"|(?P<name>/[A-Za-z0-9_\-+.]*)"
+    + rb"|(?P<arr>\[)"
+    + rb"|(?P<arrend>\])"
+    + rb"|(?P<alpha>[A-Za-z]+)"  # skipped, byte-run equivalent
+    + rb"|(?P<delim>>)"  # bare delimiter: skip one byte
+    + rb"|(?P<dict><<)"
+    + rb"|(?P<hex><)"
+    + rb"|(?P<lparen>\()"
+    + rb"|(?P<end>\Z)"
+    + rb"|(?P<other>..?)"  # unknown consumes the following byte too
+    + rb")",
+    _re.S,
+)
 
 
 class TextSpan:
@@ -135,77 +218,144 @@ class ContentParser:
         Semantics are the two-level loop of the reference
         (content/parser.rs:97-134): operands accumulate until an
         operator byte executes them; a non-operand byte (inline dict,
-        stray delimiter, unknown) DISCARDS the pending operands.  The
-        loop keeps ``pos`` in a local and inlines the hot token
-        classes (whitespace, numbers, operators) — profiling showed
-        per-token method-call overhead dominating 60-page documents.
+        stray delimiter, unknown) DISCARDS the pending operands.
+        Arrays nest via an explicit operand-list stack instead of the
+        reference's recursion — operator tokens inside an array are
+        inert (parse_operand returns None for alphabetic bytes, :300),
+        so stack depth fully determines dispatch.  Each token costs
+        one C-level regex match (leading whitespace and comments
+        folded in) — profiling showed per-byte Python classification
+        dominating 60-page documents.
         """
-        data, n = self.data, len(self.data)
-        num_match, op_match = _NUM_RE.match, _OP_RE.match
-        is_ws = _IS_WS
+        data = self.data
+        tok, arr_tok = _TOK_RE.match, _ARR_TOK_RE.match
         execute = self._execute
         pos = self.pos
         operands: list = []
+        stack: list[list] = []  # enclosing arrays' operand lists
         while True:
-            while pos < n:
-                b = data[pos]
-                if is_ws[b]:
-                    pos += 1
-                elif b == 0x25:  # % comment to end of line
-                    e = data.find(b"\n", pos)
-                    pos = n if e < 0 else e + 1
+            m = arr_tok(data, pos) if stack else tok(data, pos)
+            g = m.lastgroup
+            pos = m.end()
+            if g == "LINE":
+                # fused /Name size Tf a b c d e f Tm (text) Tj — Tf
+                # clears any pending operands (it executes), so the
+                # stale-operand hazard of Tm's first-6-floats rule
+                # (see TM below) cannot arise here
+                gr = m.group
+                st = self.state
+                st.font_name = gr("lf_n").decode("latin-1")
+                st.font_size = float(gr("lf_s"))
+                tm = [
+                    float(gr("lf_a")), float(gr("lf_b")), float(gr("lf_c")),
+                    float(gr("lf_d")), float(gr("lf_e")), float(gr("lf_f")),
+                ]
+                st.text_matrix = tm
+                st.line_matrix = tm[:]
+                self._add_text_span(gr("lf_t"))
+                if operands:
+                    operands.clear()
+            elif g == "TJS":
+                self._add_text_span(m.group("tj_t"))
+                if operands:
+                    operands.clear()
+            elif g == "TM":
+                if operands:
+                    # generic Tm takes the FIRST six floats of the
+                    # operand list (parser.rs:574-592), so with stale
+                    # operands pending the fused form would diverge;
+                    # replay just the first number generically instead
+                    operands.append(float(m.group("tm_a")))
+                    pos = m.end("tm_a")
                 else:
-                    break
-            if pos >= n:
-                break
-            if 0x30 <= b <= 0x39 or b in (0x2E, 0x2B, 0x2D):  # number
-                m = num_match(data, pos)
-                pos = m.end()
-                text = m.group()
+                    gr = m.group
+                    st = self.state
+                    st.text_matrix = [
+                        float(gr("tm_a")), float(gr("tm_b")),
+                        float(gr("tm_c")), float(gr("tm_d")),
+                        float(gr("tm_e")), float(gr("tm_f")),
+                    ]
+                    st.line_matrix = st.text_matrix[:]
+            elif g == "TD":
+                gr = m.group
+                st = self.state
+                y = float(gr("td_y"))
+                if gr("td_o") == b"TD":
+                    st.leading = -y
+                st.line_matrix[4] += float(gr("td_x"))
+                st.line_matrix[5] += y
+                st.text_matrix = st.line_matrix[:]
+                if operands:
+                    operands.clear()
+            elif g == "TF":
+                st = self.state
+                st.font_name = m.group("tf_n").decode("latin-1")
+                st.font_size = float(m.group("tf_s"))
+                if operands:
+                    operands.clear()
+            elif g == "TJA":
+                items: list = []
+                append = items.append
+                for s, v in _TJ_ITEM_RE.findall(m.group("ta")):
+                    append(s[1:-1] if s else float(v))
+                self._execute_tj(items)
+                if operands:
+                    operands.clear()
+            elif g == "num":
+                text = m.group("num")
                 try:
                     operands.append(float(text))
                 except ValueError:
                     self.pos = pos
                     raise ParseError(
-                        m.start(), f"Invalid number: {text.decode('latin-1')}"
+                        m.start("num"),
+                        f"Invalid number: {text.decode('latin-1')}",
                     ) from None
-            elif b in _ALPHA or b in (0x27, 0x22):  # operator, ' or "
-                m = op_match(data, pos)
-                pos = m.end()
+            elif g == "op":
                 self.pos = pos
-                execute(m.group().decode("latin-1"), operands)
+                execute(m.group("op").decode("latin-1"), operands)
                 pos = self.pos
                 operands = []
-            elif b == 0x28:  # ( literal string
-                self.pos = pos
+            elif g == "sstr":
+                operands.append(m.group("sstr"))
+            elif g == "name":
+                operands.append(Name(m.group("name")[1:].decode("latin-1")))
+            elif g == "arr":
+                stack.append(operands)
+                operands = []
+            elif g == "arrend":
+                arr = operands
+                operands = stack.pop()
+                operands.append(arr)
+            elif g == "lparen":
+                self.pos = pos - 1  # _read_string expects pos at '('
                 operands.append(self._read_string())
                 pos = self.pos
-            elif b == 0x3C:  # < hex string or << inline dict
-                if pos + 1 < n and data[pos + 1] == 0x3C:
-                    self.pos = pos + 1
-                    self._skip_dict()
-                    pos = self.pos
-                    operands = []  # non-operand: discard pending
+            elif g == "hex":
+                self.pos = pos  # just past '<'
+                operands.append(self._read_hex_string())
+                pos = self.pos
+            elif g == "dict":
+                self.pos = pos - 1  # _skip_dict expects pos at 2nd '<'
+                self._skip_dict()
+                pos = self.pos
+                if stack:
+                    pos += 1  # in-array quirk: extra byte (parser.rs:460)
                 else:
-                    self.pos = pos + 1
-                    operands.append(self._read_hex_string())
-                    pos = self.pos
-            elif b == 0x2F:  # / name
-                self.pos = pos
-                operands.append(self._read_name())
-                pos = self.pos
-            elif b == 0x5B:  # [ array
-                self.pos = pos
-                operands.append(self._read_array())
-                pos = self.pos
-            else:
-                # stray ']'/'>' or unknown byte: skip it and discard
-                # pending operands (reference breaks its operand loop;
-                # the +1 is our forward-progress guard for the stray
-                # delimiters the reference would spin on,
-                # content/parser.rs:295)
-                pos += 1
-                operands = []
+                    operands = []  # non-operand: discard pending
+            elif g == "alpha" or g == "delim":
+                pass  # in-array: skipped without effect
+            elif g == "end":
+                break
+            else:  # "other"
+                # stray ']'/'>' or unknown byte at top level: skip it
+                # and discard pending operands (reference breaks its
+                # operand loop; the skip is our forward-progress guard
+                # for the stray delimiters the reference would spin on,
+                # content/parser.rs:295).  In-array an unknown byte
+                # consumes its successor too (matched as 2 bytes).
+                if not stack:
+                    operands = []
         self.pos = pos
         return self._merge_adjacent_spans()
 
@@ -278,60 +428,9 @@ class ContentParser:
     # -- lexical helpers (content streams are lexed independently of the
     #    object lexer; the rules differ subtly — see each method) --------
 
-    def _skip_ws(self) -> None:
-        m = _WS_RE.match(self.data, self.pos)
-        if m is not None:
-            self.pos = m.end()
 
-    def _read_operator(self) -> str:
-        m = _OP_RE.match(self.data, self.pos)
-        self.pos = m.end()
-        return m.group().decode("latin-1")
 
-    def _parse_operand(self):
-        """One operand or ``None`` (reference: content/parser.rs:252-304).
 
-        Returns float / bytes / Name / list, mirroring the reference's
-        Operand enum with native Python values.
-        """
-        self._skip_ws()
-        data, n = self.data, len(self.data)
-        if self.pos >= n:
-            return None
-        b = data[self.pos]
-        if b in _DIGITS_DOT or b in (0x2B, 0x2D):
-            return self._read_number()
-        if b == 0x28:  # (
-            return self._read_string()
-        if b == 0x3C:  # <
-            self.pos += 1
-            if self.pos < n and data[self.pos] == 0x3C:
-                self._skip_dict()
-                return None
-            return self._read_hex_string()
-        if b == 0x2F:  # /
-            return self._read_name()
-        if b == 0x5B:  # [
-            return self._read_array()
-        if b in (0x5D, 0x3E):  # ] or > — delimiter, not an operand
-            return None
-        if b in _ALPHA:
-            return None
-        self.pos += 1  # unknown byte — skip
-        return None
-
-    def _read_number(self) -> float:
-        # NOTE: multiple '.' are consumed by the regex and rejected by
-        # the float parse, exactly like the reference
-        # (content/parser.rs:315-331).
-        start = self.pos
-        m = _NUM_RE.match(self.data, start)
-        self.pos = m.end()
-        text = m.group()
-        try:
-            return float(text)
-        except ValueError:
-            raise ParseError(start, f"Invalid number: {text.decode('latin-1')}") from None
 
     def _read_string(self) -> bytes:
         # Unlike the object lexer, EOF inside a string returns the
@@ -414,33 +513,7 @@ class ContentParser:
             for i in range(0, len(nibbles), 2)
         )
 
-    def _read_name(self) -> Name:
-        # Content-stream names use a restricted charset and no #xx
-        # escapes (parser.rs:430-444) — intentionally different from
-        # the object lexer.
-        data, n = self.data, len(self.data)
-        pos = self.pos + 1  # '/'
-        start = pos
-        while pos < n and data[pos] in _NAME_CHARS:
-            pos += 1
-        self.pos = pos
-        return Name(data[start:pos].decode("latin-1"))
 
-    def _read_array(self) -> list:
-        data, n = self.data, len(self.data)
-        self.pos += 1  # '['
-        items = []
-        while True:
-            self._skip_ws()
-            if self.pos >= n or data[self.pos] == 0x5D:
-                self.pos += 1  # ']'
-                break
-            operand = self._parse_operand()
-            if operand is not None:
-                items.append(operand)
-            else:
-                self.pos += 1  # skip unknown (parser.rs:460)
-        return items
 
     def _skip_dict(self) -> None:
         data, n = self.data, len(self.data)

@@ -14,9 +14,12 @@ break at y-gaps > 1.5 × body size).
 from __future__ import annotations
 
 import math
+from operator import attrgetter
 
 from pdf_parser_spark.engine.content import RUST_WS, TextSpan
 from pdf_parser_spark.engine.table import Table, cluster_into_rows
+
+_attr_x = attrgetter("x")
 
 HEADING = "heading"
 PARAGRAPH = "paragraph"
@@ -78,10 +81,16 @@ def compute_body_font_size(lines: list[list[TextSpan]]) -> float:
     counts the LARGEST key wins (Rust max_by_key over ascending
     BTreeMap keys returns the last maximum, layout.rs:93-110)."""
     freq: dict[int, int] = {}
+    keys: dict[float, int] = {}  # font sizes repeat; cache the rounding
+    get_key = keys.get
+    get_freq = freq.get
     for line in lines:
         for span in line:
-            key = int(_rust_round(span.font_size * 2.0))
-            freq[key] = freq.get(key, 0) + len(span.text)
+            fs = span.font_size
+            key = get_key(fs)
+            if key is None:
+                key = keys[fs] = int(_rust_round(fs * 2.0))
+            freq[key] = get_freq(key, 0) + len(span.text)
     if not freq:
         return 12.0
     best_key, best_count = None, -1
@@ -107,14 +116,23 @@ def count_x_clusters(spans: list[TextSpan]) -> int:
 
 
 def _classify_line(spans: list[TextSpan], body_font_size: float) -> _ClassifiedLine:
-    spans = sorted(spans, key=lambda s: s.x)
-    y = sum(s.y for s in spans) / len(spans)
-    max_font_size = 0.0
-    for s in spans:
-        if s.font_size > max_font_size:
-            max_font_size = s.font_size
-    x_clusters = count_x_clusters(spans)
-    text = " ".join(s.text.strip(RUST_WS) for s in spans)
+    if len(spans) == 1:  # the common case after span merging
+        s = spans[0]
+        y = s.y
+        # the generic max-fold starts at 0.0, so a (pathological)
+        # negative font size clamps to 0.0 — keep that
+        max_font_size = s.font_size if s.font_size > 0.0 else 0.0
+        x_clusters = 1
+        text = s.text.strip(RUST_WS)
+    else:
+        spans = sorted(spans, key=_attr_x)
+        y = sum(s.y for s in spans) / len(spans)
+        max_font_size = 0.0
+        for s in spans:
+            if s.font_size > max_font_size:
+                max_font_size = s.font_size
+        x_clusters = count_x_clusters(spans)
+        text = " ".join(s.text.strip(RUST_WS) for s in spans)
 
     ratio = max_font_size / body_font_size if body_font_size > 0.0 else 1.0
 

@@ -12,7 +12,12 @@ cluster START; keep them separate); cells take the nearest column by
 
 from __future__ import annotations
 
+from operator import attrgetter
+
 from pdf_parser_spark.engine.content import RUST_WS, TextSpan
+
+_attr_x = attrgetter("x")
+_attr_y = attrgetter("y")
 
 
 class Table:
@@ -71,7 +76,9 @@ class Table:
 def cluster_into_rows(spans: list[TextSpan], tolerance: float) -> list[list[TextSpan]]:
     """Greedy y-clustering; the anchor is the first span's y of the
     current cluster, not a running mean (table.rs:115-149)."""
-    spans = sorted(spans, key=lambda s: (-s.y, s.x))
+    # two stable passes == sort by (-y, x): y desc, ties x asc
+    spans = sorted(spans, key=_attr_x)
+    spans.sort(key=_attr_y, reverse=True)
     rows: list[list[TextSpan]] = []
     current: list[TextSpan] = []
     current_y: float | None = None
