@@ -77,25 +77,30 @@ def _extract_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every output format (SURVEY.md §2.1 S3-S8 + E6) over the
     fixture corpus: per (url, fmt) md5 + length of the rendered text.
     Non-SQL (rows-only check); format semantics are pinned by the
-    ported unit tests and golden fixtures."""
-    import functools
+    ported unit tests and golden fixtures.
 
-    from pdf_parser_spark.spark.job import run_extract
+    Single-parse multi-format plan: ONE narrow map parses each
+    document once and renders all 7 formats from the same span sets
+    (engine.api.extract_all_formats), then explodes to (url, fmt)
+    rows — a per-format loop would re-parse every document 7x."""
+    from pdf_parser_spark.spark.udfs import extract_formats_udf
 
     pages = _pages_df(spark, scale=1)
-    parts = []
-    for fmt in ("txt", "md", "csv", "tsv", "text", "raw", "simple"):
-        ex = run_extract(pages, fmt=fmt, threshold=100_000)
-        parts.append(
-            ex.select(
-                "url",
-                F.lit(fmt).alias("fmt"),
-                F.md5(F.col("text_extracted").cast("binary")).alias("text_md5"),
-                F.length("text_extracted").alias("text_len"),
-                "decode_error_kind",
-            )
+    return (
+        pages.withColumn("_fx", extract_formats_udf(F.col("html")))
+        .select(
+            "url",
+            F.col("_fx.error_kind").alias("decode_error_kind"),
+            F.explode("_fx.formats").alias("f"),
         )
-    return functools.reduce(lambda a, b: a.unionByName(b), parts)
+        .select(
+            "url",
+            F.col("f.fmt").alias("fmt"),
+            F.md5(F.col("f.text").cast("binary")).alias("text_md5"),
+            F.length("f.text").alias("text_len"),
+            "decode_error_kind",
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

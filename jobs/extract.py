@@ -36,7 +36,11 @@ def main() -> None:
     ap.add_argument("--output", required=True,
                     help="output table: parquet dir or iceberg:<catalog.table>")
     ap.add_argument("--format", default="txt",
-                    choices=["txt", "md", "csv", "tsv", "text", "raw"])
+                    choices=["txt", "md", "csv", "tsv", "text", "raw", "simple"])
+    ap.add_argument("--page", type=int, default=None,
+                    help="extract only page N (1-indexed, CLI-parity "
+                         "validation; out-of-range docs get a page_range "
+                         "error row)")
     ap.add_argument("--resume", action="store_true",
                     help="anti-join input against committed output urls")
     ap.add_argument("--heavy-threshold", type=int, default=1 << 20,
@@ -85,7 +89,8 @@ def main() -> None:
         if committed is not None:
             pages = resume_filter(pages, committed)
 
-    extracted = run_extract(pages, fmt=args.format, threshold=args.heavy_threshold)
+    extracted = run_extract(pages, fmt=args.format, threshold=args.heavy_threshold,
+                            page=args.page)
     # one pass: cache the (small) projected output so the lineage agg
     # doesn't re-run extraction
     extracted = extracted.persist()

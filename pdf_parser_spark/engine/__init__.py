@@ -9,11 +9,16 @@ structural rather than asserted.
 """
 
 from pdf_parser_spark.engine.api import (
+    PageRangeError,
     extract_document,
+    pdf_extract,
+    pdf_page_count,
+    pdf_page_to_csv,
     pdf_to_aligned_text,
     pdf_to_csv,
     pdf_to_markdown,
     pdf_to_raw_spans,
+    pdf_to_simple_text,
     pdf_to_text,
     pdf_to_tsv,
 )
@@ -26,6 +31,7 @@ from pdf_parser_spark.engine.table import Table
 
 __all__ = [
     "ContentParser",
+    "PageRangeError",
     "Document",
     "PdfError",
     "Table",
@@ -34,10 +40,14 @@ __all__ = [
     "elements_to_markdown",
     "elements_to_txt",
     "extract_document",
+    "pdf_extract",
+    "pdf_page_count",
+    "pdf_page_to_csv",
     "pdf_to_aligned_text",
     "pdf_to_csv",
     "pdf_to_markdown",
     "pdf_to_raw_spans",
+    "pdf_to_simple_text",
     "pdf_to_text",
     "pdf_to_tsv",
 ]

@@ -15,7 +15,7 @@ text, per-document page and element counts for lineage.
 from __future__ import annotations
 
 from pdf_parser_spark.engine.content import RUST_WS
-from pdf_parser_spark.engine.document import Document
+from pdf_parser_spark.engine.document import Document, simple_text_from_spans
 from pdf_parser_spark.engine.errors import PdfError
 from pdf_parser_spark.engine.layout import HEADING, PARAGRAPH, TABLE, classify_spans
 from pdf_parser_spark.engine.render import elements_to_markdown, elements_to_txt
@@ -123,6 +123,130 @@ def pdf_page_count(data: bytes) -> int:
     return Document.parse(data).page_count()
 
 
+def pdf_page_to_csv(data: bytes, page: int) -> str:
+    """Single page (0-indexed) as CSV — the WASM API's
+    ``pdf_page_to_csv`` (reference wasm.rs:79-97).  An out-of-range
+    page propagates the document error, like the Rust `?`."""
+    doc = Document.parse(data)
+    return Table.from_spans(doc.extract_page_text(page)).to_csv()
+
+
+class PageRangeError(ValueError):
+    """CLI-level invalid ``--page N`` (reference main.rs:90-93)."""
+
+
+def pdf_extract(data: bytes, fmt: str = "txt", page: int | None = None) -> str:
+    """The CLI's whole output-building loop (main.rs:88-150): optional
+    1-indexed single-page filter validated against the page count, and
+    — unlike the lib.rs entry points — pages that fail to extract are
+    SKIPPED rather than propagated (main.rs:102, 145-147).
+
+    ``fmt`` additionally accepts ``simple`` (E6), which the Rust CLI
+    does not expose; with ``page=None`` and a CLI format the output is
+    byte-identical to ``pdf-table <file> --<fmt>`` stdout sans the
+    trailing println newline (pinned by tests/test_reference_binary).
+    """
+    return _cli_extract(Document.parse(data), fmt, page)
+
+
+def _cli_extract(doc: Document, fmt: str, page: int | None) -> str:
+    n = doc.page_count()
+    if page is None:
+        idxs = range(n)
+    elif 1 <= page <= n:
+        idxs = [page - 1]
+    else:
+        raise PageRangeError(
+            f"Invalid page number: {page} (document has {n} pages)"
+        )
+
+    out: list[str] = []
+    for page_idx in idxs:
+        if fmt == "simple":
+            try:
+                text = doc.extract_page_text_string(page_idx)
+            except PdfError:
+                continue
+            if any(out):
+                out.append("\n")
+            out.append(text)
+            continue
+        try:
+            spans = doc.extract_page_text(page_idx)
+        except PdfError:
+            continue  # CLI skips failing pages (main.rs:145-147)
+        if fmt == "raw":
+            if any(out):
+                out.append("\n--- Page {} ---\n")
+            for s in spans:
+                out.append(
+                    f"[{s.x:.1f}, {s.y:.1f}] ({_fmt_f64(s.font_size)}pt): {s.text}\n"
+                )
+        elif fmt in ("txt", "md"):
+            elements = classify_spans(spans)
+            if any(out):
+                out.append("\n")
+            out.append(
+                elements_to_txt(elements)
+                if fmt == "txt"
+                else elements_to_markdown(elements)
+            )
+        else:  # csv / tsv / text
+            table = Table.from_spans(spans)
+            if any(out):
+                out.append("\n")
+            out.append(
+                table.to_csv()
+                if fmt == "csv"
+                else table.to_tsv() if fmt == "tsv" else table.to_text()
+            )
+    return "".join(out)
+
+
+ALL_FORMATS = ("txt", "md", "csv", "tsv", "text", "raw", "simple")
+
+
+def extract_all_formats(data: bytes) -> dict[str, str]:
+    """Parse ONCE, render every format from the same per-page span
+    sets — the production multi-format export path.  The CLI (and the
+    per-format functions mirroring lib.rs) re-parse the document for
+    each format; parsing dominates rendering, so a 7-format export
+    re-pays the parse 7x.  The engine already separates parse
+    (Document + ContentParser) from render (classify/Table/simple
+    grouping), so each page is parsed to spans once and every renderer
+    consumes the same list.  Byte-identical to calling the individual
+    format functions (pinned by tests/test_api.py)."""
+    doc = Document.parse(data)
+    outs: dict[str, list[str]] = {f: [] for f in ALL_FORMATS}
+    for page_idx in range(doc.page_count()):
+        spans = doc.extract_page_text(page_idx)
+        elements = classify_spans(spans)
+        table = Table.from_spans(spans)
+        page = {
+            "txt": elements_to_txt(elements),
+            "md": elements_to_markdown(elements),
+            "csv": table.to_csv(),
+            "tsv": table.to_tsv(),
+            "text": table.to_text(),
+            # the simple path re-groups the SAME spans with its fixed
+            # 3.0 tolerance (document.rs:837-885)
+            "simple": simple_text_from_spans(spans),
+        }
+        raw = outs["raw"]
+        if any(raw):
+            raw.append("\n--- Page {} ---\n")
+        for s in spans:
+            raw.append(
+                f"[{s.x:.1f}, {s.y:.1f}] ({_fmt_f64(s.font_size)}pt): {s.text}\n"
+            )
+        for fmt, rendered in page.items():
+            out = outs[fmt]
+            if any(out):  # string-empty check (lib.rs !output.is_empty())
+                out.append("\n")
+            out.append(rendered)
+    return {fmt: "".join(parts) for fmt, parts in outs.items()}
+
+
 # -- structured per-row extraction for the Spark layer ---------------------
 
 _FORMATS = {
@@ -183,11 +307,16 @@ def _txt_with_spans(doc: Document) -> tuple[str, list[tuple[int, int, str]], int
     return "".join(pieces), spans_out, n_elements
 
 
-def extract_document(data: bytes | None, fmt: str = "txt") -> dict:
+def extract_document(
+    data: bytes | None, fmt: str = "txt", page: int | None = None
+) -> dict:
     """One Spark row in, one structured result out; never raises.
 
     Dispatches on magic bytes: ``%PDF-`` → PDF engine (document.rs:36),
     anything else → HTML boilerplate stripper.  Errors are values.
+    ``page`` (1-indexed, PDF path only) scopes extraction to a single
+    page with the CLI's validation semantics (main.rs:88-96); out of
+    range becomes a ``page_range`` error row.
     """
     result = {
         "text": "",
@@ -207,7 +336,9 @@ def extract_document(data: bytes | None, fmt: str = "txt") -> dict:
         result["doc_type"] = "pdf"
         try:
             doc = Document.parse(bytes(data))
-            if fmt == "txt":
+            if page is not None:
+                result["text"] = _cli_extract(doc, fmt, page)
+            elif fmt == "txt":
                 text, spans, n_elements = _txt_with_spans(doc)
                 result["text"] = text
                 result["spans"] = spans
@@ -215,6 +346,9 @@ def extract_document(data: bytes | None, fmt: str = "txt") -> dict:
             else:
                 result["text"] = _FORMATS[fmt](bytes(data))
             result["n_pages"] = doc.page_count()
+        except PageRangeError as e:
+            result["error"] = str(e)
+            result["error_kind"] = "page_range"
         except PdfError as e:
             result["error"] = str(e)
             result["error_kind"] = e.kind

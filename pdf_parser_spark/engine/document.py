@@ -301,25 +301,31 @@ class Document:
     def extract_page_text_string(self, page_index: int) -> str:
         """Simple line-grouped text with FIXED tolerance 3.0 — a
         distinct rule from the layout path (document.rs:837-885)."""
-        spans = self.extract_page_text(page_index)
-        spans.sort(key=lambda s: (-s.y, s.x))
+        return simple_text_from_spans(self.extract_page_text(page_index))
 
-        lines: list[list[TextSpan]] = []
-        current: list[TextSpan] = []
-        current_y: float | None = None
-        tolerance = 3.0
-        for span in spans:
-            if current_y is not None and abs(span.y - current_y) <= tolerance:
-                current.append(span)
-            else:
-                if current:
-                    lines.append(current)
-                current_y = span.y
-                current = [span]
-        if current:
-            lines.append(current)
 
-        return "\n".join(" ".join(s.text for s in line) for line in lines)
+def simple_text_from_spans(spans: list[TextSpan]) -> str:
+    """The E6 grouping over an existing span list (document.rs:842-884)
+    — does not mutate its input, so span lists can be shared across
+    renderers (api.extract_all_formats)."""
+    spans = sorted(spans, key=lambda s: (-s.y, s.x))
+
+    lines: list[list[TextSpan]] = []
+    current: list[TextSpan] = []
+    current_y: float | None = None
+    tolerance = 3.0
+    for span in spans:
+        if current_y is not None and abs(span.y - current_y) <= tolerance:
+            current.append(span)
+        else:
+            if current:
+                lines.append(current)
+            current_y = span.y
+            current = [span]
+    if current:
+        lines.append(current)
+
+    return "\n".join(" ".join(s.text for s in line) for line in lines)
 
 
 # -- module-level structure parsing -------------------------------------------

@@ -145,24 +145,92 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
-_RAWTEXT = frozenset(("script", "style", "textarea", "title"))
-_TAGNAME_RE = re.compile(r"</?([a-zA-Z][a-zA-Z0-9:_-]*)")
+_CDATA_ELEMS = ("script", "style")  # stdlib CDATA_CONTENT_ELEMENTS
+# Tolerant-parsing regexes mirroring this Python's html.parser /
+# _markupbase internals (PSF-licensed public source) so the fast
+# tokenizer and the stdlib engine agree on malformed markup too:
+# unmatched quotes, bare '/' in unquoted values, marked sections,
+# bogus comments, '--   >' comment closes.
+_LOCATE_START = re.compile(
+    r"""
+  <([a-zA-Z][^\t\n\r\f />\x00]*)   # tag name (captured; stdlib has no group)
+  (?:[\s/]*                          # optional whitespace before attribute name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+      (?:\s*=+\s*                    # value indicator
+        (?:'[^']*'                   # LITA-enclosed value
+          |"[^"]*"                   # LIT-enclosed value
+          |(?!['"])[^>\s]*           # bare value
+         )
+        \s*                          # possibly followed by a space
+       )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*                                # trailing whitespace
+""",
+    re.VERBOSE,
+)
+_ENDTAGFIND = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_TAGFIND_TOL = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+_ATTRFIND_TOL = re.compile(
+    r"((?<=['\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"('[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*))?(?:\s|/(?!>))*"
+)
+_COMMENT_CLOSE = re.compile(r"--\s*>")
+_MARKED_CLOSE = re.compile(r"]\s*]\s*>")
+_MS_MARKED_CLOSE = re.compile(r"]\s*>")
+_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_CDATA_CLOSE = {
+    t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in _CDATA_ELEMS
+}
+# Fast path for well-formed start tags (the overwhelming majority):
+# restricted tag/attr-name charsets and quoted-or-bare values, never
+# ending in a free '/'.  Every match here is also a _LOCATE_START
+# match ending at the same '>' with attrfind tail '>', i.e. always a
+# plain starttag — anything else falls through to the full stdlib
+# logic.
+_SIMPLE_START = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9:_-]*)"
+    r"(?:\s+[a-zA-Z:_-][a-zA-Z0-9:_.-]*"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|(?!['\"])[^>\s]*))?)*"
+    r"\s*>"
+)
+# start-tag recovery: the char classes check_for_whole_start_tag treats
+# as "incomplete input" rather than bogus-but-parseable
+_INCOMPLETE_NEXT = frozenset("abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
 
 def _fast_events(html: str):
     """Tokenize markup into (kind, value) events matching what
-    ``HTMLParser(convert_charrefs=True)`` dispatches for well-formed
-    documents: kind 0 = data (entities resolved, one chunk per
-    inter-tag run), 1 = starttag, 2 = endtag, 3 = startendtag.
+    ``HTMLParser(convert_charrefs=True)`` dispatches: kind 0 = data
+    (entities resolved, one chunk per run), 1 = starttag, 2 = endtag,
+    3 = startendtag.
 
-    ~5x faster than the stdlib goahead loop (one scan, no per-tag
-    regex cascade); byte-equivalence with the stdlib path is pinned by
-    a differential test over the fixture corpus.
+    Malformed markup follows the stdlib's tolerant recovery exactly
+    (quote only honored in attribute-value position via the stdlib's
+    own locate regex; unclosed constructs re-emitted as data up to the
+    next '>' or '<'), with ONE deliberate divergence pinned by
+    tests/test_html_fast.py: a fragment with no recovery point before
+    EOF is dropped instead of leaked into the text — the right call
+    for extraction.  Differential equivalence with the stdlib engine
+    is pinned per block over the fixture corpus and an adversarial
+    malformed-markup suite.
     """
     from html import unescape
 
     pos, n = 0, len(html)
     find = html.find
+
+    def tolerant(lt: int):
+        # goahead()'s k<0 recovery at end-of-input: data up to the
+        # next '>' (inclusive) else next '<', else drop (divergence)
+        gt = find(">", lt + 1)
+        if gt >= 0:
+            return lt, gt + 1
+        k = find("<", lt + 1)
+        if k < 0:
+            return None, n
+        return lt, k
+
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
@@ -177,65 +245,154 @@ def _fast_events(html: str):
         nxt = html[lt + 1 : lt + 2]
         if nxt == "!":
             if html.startswith("<!--", lt):
-                end = find("-->", lt + 4)
-                pos = n if end < 0 else end + 3
-            else:  # doctype / CDATA-ish declaration
-                end = find(">", lt)
-                pos = n if end < 0 else end + 1
+                m = _COMMENT_CLOSE.search(html, lt + 4)
+                if m:
+                    pos = m.end()
+                    continue
+            elif html.startswith("<![", lt):
+                # marked section (parse_marked_section); where the
+                # stdlib would assert on an unknown/missing section
+                # name we recover with the ]]> scan instead of
+                # crashing the row
+                nm = _DECLNAME.match(html, lt + 3)
+                name = nm.group().strip().lower() if nm else ""
+                closer = (
+                    _MS_MARKED_CLOSE
+                    if name in ("if", "else", "endif")
+                    else _MARKED_CLOSE
+                )
+                m = closer.search(html, lt + 3)
+                if m:
+                    pos = m.end()
+                    continue
+            elif html[lt + 2 : lt + 9].lower() == "doctype":
+                gt = find(">", lt + 9)
+                if gt >= 0:
+                    pos = gt + 1
+                    continue
+            else:  # bogus comment: <!foo ...>
+                gt = find(">", lt + 2)
+                if gt >= 0:
+                    pos = gt + 1
+                    continue
+            emit, pos = tolerant(lt)
+            if emit is not None:
+                chunk = html[emit:pos]
+                if "&" in chunk:
+                    chunk = unescape(chunk)
+                yield 0, chunk
             continue
         if nxt == "?":
-            end = find(">", lt)
-            pos = n if end < 0 else end + 1
-            continue
-        m = _TAGNAME_RE.match(html, lt)
-        if not m:
-            yield 0, "<"
-            pos = lt + 1
-            continue
-        tag = m.group(1).lower()
-        is_end = html[lt + 1] == "/"
-        # find the closing '>' honoring quoted attribute values
-        i = m.end()
-        while i < n:
-            c = html[i]
-            if c == '"' or c == "'":
-                j = find(c, i + 1)
-                i = n if j < 0 else j + 1
-            elif c == ">":
-                break
+            gt = find(">", lt + 2)
+            if gt >= 0:
+                pos = gt + 1
             else:
-                i += 1
-        selfclosed = i <= n and html[i - 1 : i] == "/" and not is_end
-        pos = i + 1 if i < n else n
-        if is_end:
-            yield 2, tag
-        elif selfclosed:
-            yield 3, tag
-        else:
-            yield 1, tag
-            if tag in _RAWTEXT:
-                # CDATA mode: raw text runs to the matching close tag
-                # (stdlib requires the name be followed by ws / '>' / '/')
-                low = html.lower()
-                needle = "</" + tag
-                close = low.find(needle, pos)
-                while close >= 0:
-                    after = low[close + len(needle) : close + len(needle) + 1]
-                    if after in ("", ">", "/", " ", "\t", "\n", "\r"):
-                        break
-                    close = low.find(needle, close + 1)
-                body_end = n if close < 0 else close
-                if body_end > pos and tag not in _IGNORED:
-                    chunk = html[pos:body_end]
+                emit, pos = tolerant(lt)
+                if emit is not None:
+                    chunk = html[emit:pos]
                     if "&" in chunk:
                         chunk = unescape(chunk)
                     yield 0, chunk
-                if close < 0:
-                    pos = n
-                else:
-                    gt = find(">", close)
-                    pos = n if gt < 0 else gt + 1
+            continue
+        if nxt == "/":
+            # parse_endtag
+            gt = find(">", lt + 1)
+            if gt < 0:
+                emit, pos = tolerant(lt)
+                if emit is not None:
+                    chunk = html[emit:pos]
+                    if "&" in chunk:
+                        chunk = unescape(chunk)
+                    yield 0, chunk
+                continue
+            m = _ENDTAGFIND.match(html, lt)
+            if m:
+                yield 2, m.group(1).lower()
+                pos = gt + 1
+                continue
+            nm = _TAGFIND_TOL.match(html, lt + 2)
+            if nm:
+                yield 2, nm.group(1).lower()
+                pos = find(">", nm.end()) + 1
+            elif html.startswith("</>", lt):
+                pos = lt + 3
+            else:  # bogus comment, ignored
+                pos = find(">", lt + 2) + 1
+            continue
+        m = _SIMPLE_START.match(html, lt)
+        if m:
+            tag = m.group(1).lower()
+            yield 1, tag
+            pos = m.end()
+            if tag in _CDATA_ELEMS:
+                m2 = _CDATA_CLOSE[tag].search(html, pos)
+                if m2:
                     yield 2, tag
+                    pos = m2.end()
+                else:
+                    pos = n
+            continue
+        m = _LOCATE_START.match(html, lt)
+        if not m:
+            # '<' not followed by a letter: literal data (goahead);
+            # a lone trailing '<' is dropped like the stdlib's break
+            if lt + 1 < n:
+                yield 0, "<"
+                pos = lt + 1
+            else:
+                pos = n
+            continue
+        tag = m.group(1).lower()
+        j = m.end()
+        after = html[j : j + 1]
+        if after == ">":
+            pos = j + 1
+            kind = 1
+            if "/" in m.group(0):
+                # a '/' in the tag span may be XHTML self-closing
+                # ('<br/>') or part of a bare attribute value
+                # ('<a href=x/>', NOT self-closing); parse_starttag
+                # decides via the attrfind walk — mirror it
+                k = _TAGFIND_TOL.match(html, lt + 1).end()
+                while k < pos:
+                    am = _ATTRFIND_TOL.match(html, k)
+                    if not am:
+                        break
+                    k = am.end()
+                tail = html[k:pos].strip()
+                if tail == "/>":
+                    kind = 3
+                elif tail != ">":
+                    # out-of-sync junk: stdlib re-emits the raw tag
+                    yield 0, html[lt:pos]
+                    continue
+            yield kind, tag
+            if kind == 1 and tag in _CDATA_ELEMS:
+                # CDATA mode: only a full '</tag>' close exits
+                # (html.parser's set_cdata_mode interesting regex);
+                # body text is never content (script/style)
+                m2 = _CDATA_CLOSE[tag].search(html, pos)
+                if m2:
+                    yield 2, tag
+                    pos = m2.end()
+                else:
+                    pos = n
+        elif after == "/" and html.startswith("/>", j):
+            yield 3, tag
+            pos = j + 2
+        elif after == "" or after in _INCOMPLETE_NEXT:
+            # incomplete start tag (check_for_whole_start_tag -1)
+            emit, pos = tolerant(lt)
+            if emit is not None:
+                chunk = html[emit:pos]
+                if "&" in chunk:
+                    chunk = unescape(chunk)
+                yield 0, chunk
+        else:
+            # bogus input: parse_starttag re-emits the raw fragment
+            # as data WITHOUT entity conversion
+            yield 0, html[lt:j] if j > lt else "<"
+            pos = j if j > lt else lt + 1
 
 
 def segment_blocks(html: bytes | str, engine: str = "fast") -> list[Block]:

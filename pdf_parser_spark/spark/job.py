@@ -60,6 +60,7 @@ def run_extract(
     normal_partitions: int | None = None,
     heavy_partitions: int | None = None,
     bucket_normal: bool = False,
+    page: int | None = None,
 ) -> DataFrame:
     """Two-pass extraction plan with explicit compute-skew routing.
 
@@ -90,8 +91,8 @@ def run_extract(
         n_heavy, F.xxhash64("url")
     )
 
-    extracted = with_extraction(normal, fmt).unionByName(
-        with_extraction(heavy, fmt)
+    extracted = with_extraction(normal, fmt, page=page).unionByName(
+        with_extraction(heavy, fmt, page=page)
     )
     return extracted.select(*OUTPUT_COLUMNS)
 

@@ -22,7 +22,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from pdf_parser_spark.engine.api import extract_document
+from pdf_parser_spark.engine.api import (
+    ALL_FORMATS,
+    extract_all_formats,
+    extract_document,
+)
+from pdf_parser_spark.engine.errors import PdfError
 
 SPAN_TYPE = ArrayType(
     StructType(
@@ -47,10 +52,10 @@ EXTRACT_TYPE = StructType(
 )
 
 
-def _extract_batch(html: pd.Series, fmt: str) -> pd.DataFrame:
+def _extract_batch(html: pd.Series, fmt: str, page: int | None) -> pd.DataFrame:
     rows = []
     for data in html:
-        r = extract_document(data, fmt=fmt)
+        r = extract_document(data, fmt=fmt, page=page)
         rows.append(
             (
                 r["text"],
@@ -79,23 +84,26 @@ def _extract_batch(html: pd.Series, fmt: str) -> pd.DataFrame:
     )
 
 
-def make_extract_udf(fmt: str = "txt"):
-    """Struct-returning pandas UDF: ``html BINARY → extracted STRUCT``."""
+def make_extract_udf(fmt: str = "txt", page: int | None = None):
+    """Struct-returning pandas UDF: ``html BINARY → extracted STRUCT``.
+    ``page`` scopes PDF extraction to one 1-indexed page (CLI --page
+    semantics, main.rs:88-96)."""
 
     @pandas_udf(EXTRACT_TYPE)
     def extract(html: pd.Series) -> pd.DataFrame:
-        return _extract_batch(html, fmt)
+        return _extract_batch(html, fmt, page)
 
     return extract
 
 
-def with_extraction(df, fmt: str = "txt", html_col: str = "html"):
+def with_extraction(df, fmt: str = "txt", html_col: str = "html",
+                    page: int | None = None):
     """Append extraction columns to a pages DataFrame.
 
     Narrow map — no shuffle; Catalyst prunes unused input columns
     around the UDF boundary.
     """
-    extract = make_extract_udf(fmt)
+    extract = make_extract_udf(fmt, page)
     return (
         df.withColumn("_ex", extract(F.col(html_col)))
         .withColumn("text_extracted", F.col("_ex.text"))
@@ -107,3 +115,62 @@ def with_extraction(df, fmt: str = "txt", html_col: str = "html"):
         .withColumn("decode_error_kind", F.col("_ex.error_kind"))
         .drop("_ex")
     )
+
+
+FORMATS_TYPE = StructType(
+    [
+        StructField(
+            "formats",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("fmt", StringType()),
+                        StructField("text", StringType()),
+                    ]
+                )
+            ),
+        ),
+        StructField("doc_type", StringType()),
+        StructField("error", StringType()),
+        StructField("error_kind", StringType()),
+    ]
+)
+
+
+@pandas_udf(FORMATS_TYPE)
+def extract_formats_udf(html: pd.Series) -> pd.DataFrame:
+    """All output formats from ONE parse per document
+    (api.extract_all_formats) — the production multi-format export.
+    A per-format run_extract would re-parse every document once per
+    format; parsing dominates, so this is ~5x cheaper at any scale."""
+    rows = []
+    for data in html:
+        doc_type, error, error_kind = "unknown", None, None
+        texts: dict[str, str] = {}
+        if data is None or len(data) == 0:
+            error, error_kind = "empty document", "empty"
+        elif bytes(data[:5]) == b"%PDF-":
+            doc_type = "pdf"
+            try:
+                texts = extract_all_formats(bytes(data))
+            except PdfError as e:
+                error, error_kind = str(e), e.kind
+            except RecursionError:
+                error, error_kind = "page tree recursion limit", "recursion"
+        else:
+            doc_type = "html"
+            r = extract_document(bytes(data))
+            error, error_kind = r["error"], r["error_kind"]
+            texts = {f: r["text"] for f in ALL_FORMATS}
+        rows.append(
+            (
+                [
+                    {"fmt": f, "text": texts.get(f, "")}
+                    for f in ALL_FORMATS
+                ],
+                doc_type,
+                error,
+                error_kind,
+            )
+        )
+    return pd.DataFrame(rows, columns=["formats", "doc_type", "error", "error_kind"])

@@ -11,14 +11,22 @@ Design:
 
 * **File source + ``availableNow``** — each run drains whatever landed
   since the last checkpoint and stops; the checkpoint's file log IS
-  the resume state (exactly-once per input file), complementing the
-  batch job's snapshot/anti-join resume (spark/table.py) which
-  dedups at the url level.
+  the resume state (each input file enters exactly one micro-batch),
+  complementing the batch job's snapshot/anti-join resume
+  (spark/table.py) which dedups at the url level.
 * **``foreachBatch`` reuses the batch plan** — every micro-batch runs
   the SAME ``run_extract`` (skew-routed, spans, error columns) and the
   SAME ``lineage`` aggregation, so streaming and batch cannot drift:
-  one extraction code path, two drivers.  Per-batch lineage rows are
-  appended next to the output with the batch id stamped on them.
+  one extraction code path, two drivers.
+* **Idempotent sink → end-to-end exactly-once.** ``foreachBatch``
+  alone is only at-least-once: if the driver dies between the sink
+  write and the checkpoint commit, the retried micro-batch (same
+  ``batch_id``, same rows — availableNow planning is deterministic
+  from the file log) runs again.  Each batch therefore writes to a
+  ``batch_id=N`` hive partition with ``mode("overwrite")`` scoped to
+  that directory: a replay overwrites its own partial output instead
+  of appending duplicates, and a ``_SUCCESS``-marker check skips the
+  recompute entirely when the batch already committed.
 * **No stateful operators** — extraction is per-row, so there is no
   watermark/state-store cost; the only shuffle per micro-batch is the
   heavy-class spread, same as batch.
@@ -26,7 +34,7 @@ Design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -46,6 +54,15 @@ PAGES_STREAM_SCHEMA = StructType(
         StructField("lang", StringType()),
     ]
 )
+
+
+def _committed(spark: SparkSession, directory: str) -> bool:
+    """True when ``directory`` holds a completed parquet write
+    (Hadoop ``_SUCCESS`` marker) — works on any Hadoop filesystem."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{directory}/_SUCCESS")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(path))
 
 
 def stream_extract(
@@ -70,18 +87,20 @@ def stream_extract(
     pages = reader.parquet(input_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        out_dir = f"{output_path}/extracted/batch_id={batch_id}"
+        lin_dir = f"{output_path}/lineage/batch_id={batch_id}"
+        if _committed(spark_b, out_dir) and _committed(spark_b, lin_dir):
+            return  # replayed batch already fully committed — skip
         extracted = run_extract(batch_df, fmt=fmt, threshold=threshold)
         # extracted feeds two sinks; without a materialization point the
         # whole UDF plan would run once per sink
         extracted = extracted.persist()
         try:
-            extracted.write.mode("append").parquet(f"{output_path}/extracted")
-            (
-                lineage(extracted)
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
-                .parquet(f"{output_path}/lineage")
-            )
+            # overwrite scoped to this batch's own partition dir makes
+            # a replay after a torn write idempotent
+            extracted.write.mode("overwrite").parquet(out_dir)
+            lineage(extracted).write.mode("overwrite").parquet(lin_dir)
         finally:
             extracted.unpersist()
 

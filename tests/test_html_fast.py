@@ -30,6 +30,38 @@ ADVERSARIAL = [
     b"<p>3 < 5 and 7 > 2 in math</p>",
     # table-ish structure
     b"<table><tr><td>cell one</td><td>cell two</td></tr></table>",
+    # -- malformed markup (stdlib-tolerant recovery must match) --
+    # unmatched quote in an attribute value: must NOT swallow the doc
+    b'<p title="x>rest of the document stays fully visible here</p>',
+    b"<p title='y>single quote variant also stays visible here</p>",
+    # apostrophe inside a bare (unquoted) attribute value
+    b"<p data-x=a'b>bare value with apostrophe keeps text</p>",
+    # bare value ending in '/': NOT self-closing
+    b"<a href=x/>link</a><p>paragraph after slash value here</p>",
+    # quote not in value position
+    b'<p " >stray quote attr</p><p>more text after it here</p>',
+    # attribute juxtaposed to a quoted value
+    b'<p foo="1"bar=2>juxtaposed attributes keep this text</p>',
+    # CDATA marked section: inner markup is opaque, ]]> ends it
+    b"<![CDATA[a <b> no ]]>b text after the marked section</p>",
+    # MS-Office conditional sections end at ]>
+    b"<![if !IE]>conditional<![endif]>tail text appears here ok",
+    # unterminated comment recovers at the next '>'
+    b"<!-- unterminated > recovered text continues here after",
+    # comment closed by '--   >' (stdlib _commentclose)
+    b"<!--x--   ><p>comment with spaced close then text</p>",
+    # junk end tags
+    b'<p>alpha</p attr=">">beta<\\/q></p>',
+    b"<p>ws endtag</ p><p>after whitespace endtag text</p>",
+    b"<p>empty endtag</><p>after empty endtag text here</p>",
+    # digit after '<' is literal data
+    b"<p>3 <1> 5 tokens</p>",
+    # fake rawtext close with attribute junk is not a close
+    b"<script>a='</script foo>'; b=2;</script><p>after script</p>",
+    # bogus comment <!foo>
+    b"<!foo bar><p>bogus comment skipped then text kept</p>",
+    # doctype with attributes
+    b'<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01//EN"><p>dt text</p>',
 ]
 
 
@@ -42,6 +74,34 @@ def test_fast_matches_stdlib_adversarial(doc):
     assert _sig(segment_blocks(doc, engine="fast")) == _sig(
         segment_blocks(doc, engine="stdlib")
     )
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _FRAGMENTS = [
+        "<p>", "</p>", "<div>", "</div>", "<a href=\"u\">", "</a>",
+        "<br/>", "<br>", "<hr />", "words here", "ten short tokens",
+        "&amp;", "&lt;", "<!--c-->", "<!-- ", "-->", "<![CDATA[x]]>",
+        "<![if a]>", "<![endif]>", "<?pi?>", "<script>", "</script>",
+        "<style>", "</style>", "'", '"', ">", "<", "=", "/", " ",
+        "<p title=\"x>", "<a href=x/>", "<p data-x=a'b>", "</ p>",
+        "</>", "<!doctype html>", "<1>", "</p junk=\">\">",
+    ]
+
+    @given(st.lists(st.sampled_from(_FRAGMENTS), min_size=1, max_size=12))
+    @settings(max_examples=200, deadline=None)
+    def test_fast_matches_stdlib_fuzz(parts):
+        # sentinel guarantees a recovery point so the one deliberate
+        # EOF divergence (fragment dropped vs leaked) cannot trigger
+        doc = "".join(parts) + "<p>sentinel tail</p>"
+        try:
+            expect = _sig(segment_blocks(doc, engine="stdlib"))
+        except AssertionError:
+            return  # stdlib parse_marked_section asserts on bad names
+        assert _sig(segment_blocks(doc, engine="fast")) == expect
+except ImportError:  # pragma: no cover
+    pass
 
 
 def test_unterminated_tag_at_eof_dropped():

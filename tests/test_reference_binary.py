@@ -88,6 +88,66 @@ def test_byte_identity_vs_reference_binary(fmt, ref_bin, corpus):
             os.unlink(path)
 
 
+@pytest.mark.parametrize("fmt", sorted(FLAG))
+def test_page_scoped_byte_identity_vs_reference_binary(fmt, ref_bin, corpus):
+    """``--page N`` in every format (main.rs:14, 45-52, 88-96): every
+    valid page of every multi-page fixture byte-identical; out-of-range
+    (0 and n+1) exits 1 with the CLI's error line, mirrored by
+    PageRangeError carrying the same message."""
+    for cid in ("multipage-nested", "heavy-tail", "incremental-prev"):
+        data = corpus[cid]
+        n = api.pdf_page_count(data)
+        with tempfile.NamedTemporaryFile(suffix=".pdf", delete=False) as f:
+            f.write(data)
+            path = f.name
+        try:
+            pages = [1, n] if cid == "heavy-tail" else list(range(1, n + 1))
+            for p in pages:
+                r = subprocess.run(
+                    [ref_bin, path, FLAG[fmt], "--page", str(p)],
+                    capture_output=True, timeout=120,
+                )
+                assert r.returncode == 0, (cid, fmt, p, r.stderr[:200])
+                ours = api.pdf_extract(data, fmt, page=p) + "\n"
+                assert r.stdout.decode("utf-8") == ours, (cid, fmt, p)
+            for bad in (0, n + 1):
+                r = subprocess.run(
+                    [ref_bin, path, FLAG[fmt], "--page", str(bad)],
+                    capture_output=True, timeout=120,
+                )
+                assert r.returncode != 0, (cid, fmt, bad)
+                with pytest.raises(api.PageRangeError) as ei:
+                    api.pdf_extract(data, fmt, page=bad)
+                assert str(ei.value) in r.stderr.decode("utf-8"), (cid, bad)
+        finally:
+            os.unlink(path)
+
+
+def test_pdf_page_to_csv_matches_cli_page(corpus):
+    """wasm.rs:79-97: 0-indexed single-page CSV == the CLI's 1-indexed
+    --page N --csv output."""
+    for cid in ("multipage-nested", "table-page"):
+        data = corpus[cid]
+        for idx in range(api.pdf_page_count(data)):
+            assert api.pdf_page_to_csv(data, idx) == api.pdf_extract(
+                data, "csv", page=idx + 1
+            )
+
+
+def test_cli_extract_matches_format_functions(corpus):
+    """pdf_extract(page=None) must equal the lib.rs-mirror functions
+    on every non-erroring fixture in every format."""
+    from pdf_parser_spark.engine.errors import PdfError
+
+    for cid, data in corpus.items():
+        for fmt, fn in FN.items():
+            try:
+                expect = fn(data)
+            except PdfError:
+                continue
+            assert api.pdf_extract(data, fmt) == expect, (cid, fmt)
+
+
 def test_page_count_vs_reference(ref_bin, corpus):
     """--page N validation doubles as a page-count oracle: page
     page_count is accepted, page_count+1 is rejected (main.rs:85-97).

@@ -108,3 +108,64 @@ def test_extract_plan_is_narrow_after_repartition(spark, pages_df):
         pages_df, threshold=100_000, bucket_normal=True
     )._jdf.queryExecution().executedPlan().toString()
     assert bucketed.count("Exchange") == 2
+
+
+def test_multiformat_single_parse_matches_engine(spark, pages_df):
+    """extract_formats_udf (one parse, all formats) must equal the
+    per-format engine functions byte-for-byte per (url, fmt)."""
+    from pdf_parser_spark.engine import api
+    from pdf_parser_spark.engine.errors import PdfError
+    from pdf_parser_spark.spark.udfs import extract_formats_udf
+
+    got = {}
+    rows = (
+        pages_df.withColumn("_fx", extract_formats_udf(F.col("html")))
+        .select("url", F.explode("_fx.formats").alias("f"))
+        .select("url", "f.fmt", "f.text")
+        .collect()
+    )
+    for r in rows:
+        got[(r["url"], r["fmt"])] = r["text"]
+
+    corpus = {**build_pdf_corpus(), **build_html_corpus()}
+    fns = {
+        "txt": api.pdf_to_text, "md": api.pdf_to_markdown,
+        "csv": api.pdf_to_csv, "tsv": api.pdf_to_tsv,
+        "text": api.pdf_to_aligned_text, "raw": api.pdf_to_raw_spans,
+        "simple": api.pdf_to_simple_text,
+    }
+    n_checked = 0
+    for cid, data in corpus.items():
+        url = f"https://fixtures.test/{cid}"
+        if not data.startswith(b"%PDF-"):
+            continue  # html path: fmt-independent, covered elsewhere
+        for fmt, fn in fns.items():
+            try:
+                expect = fn(data)
+            except PdfError:
+                expect = ""
+            assert got[(url, fmt)] == expect, (cid, fmt)
+            n_checked += 1
+    assert n_checked >= 7 * 20
+
+
+def test_page_scoped_extraction_in_spark(spark, pages_df):
+    """run_extract(page=N): single-page rows match pdf_extract; out of
+    range becomes a page_range error row, never a task failure."""
+    from pdf_parser_spark.engine import api
+    from pdf_parser_spark.engine.errors import PdfError
+
+    extracted = run_extract(pages_df, fmt="txt", threshold=100_000, page=2)
+    got = {r["url"]: r for r in extracted.collect()}
+    for cid, data in build_pdf_corpus().items():
+        url = f"https://fixtures.test/{cid}"
+        try:
+            n = api.pdf_page_count(data)
+        except PdfError:
+            continue
+        if n >= 2:
+            assert got[url]["text_extracted"] == api.pdf_extract(data, "txt", page=2), cid
+            assert got[url]["decode_error_kind"] is None, cid
+        else:
+            assert got[url]["decode_error_kind"] == "page_range", cid
+            assert "Invalid page number: 2" in got[url]["decode_error"], cid
