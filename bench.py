@@ -119,15 +119,25 @@ def build_session(master: str, shuffle: int):
     return _b("pdf-parser-spark-bench", master=master, shuffle_partitions=shuffle)
 
 
+def _fixture_fingerprint() -> str:
+    """Content hash of the fixture generator — keyed into the corpus
+    cache path so a generator change invalidates cached corpora
+    instead of silently benchmarking stale data across rounds."""
+    import hashlib
+
+    with open(os.path.join(REPO, "fixtures", "gen.py"), "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()[:10]
+
+
 def ensure_corpus(spark, scale: int) -> str:
-    """Write the deterministic pages corpus to parquet once per scale
-    (driver-side blobs × Spark-side explode, so the driver never holds
-    scale× copies)."""
+    """Write the deterministic pages corpus to parquet once per
+    (scale, fixture-generator version) — driver-side blobs ×
+    Spark-side explode, so the driver never holds scale× copies."""
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entrymod
 
-    path = f"{CORPUS_CACHE}/pages_x{scale}.parquet"
+    path = f"{CORPUS_CACHE}/pages_x{scale}_{_fixture_fingerprint()}.parquet"
     marker = f"{path}/_SUCCESS"
     if os.path.exists(marker):
         return path
@@ -336,6 +346,15 @@ def main():
         print(json.dumps(out))
         return
 
+    # record host contention alongside the numbers (VERDICT r1 §5: a
+    # contended epoch makes throughput unrepresentable, not a
+    # regression — the probe in the JSON lets rounds be compared
+    # honestly); if the epoch is badly contended, wait once and retry
+    probe = host_probe()
+    if probe["parallel_capacity_frac"] < 0.7:
+        time.sleep(60)
+        probe = host_probe()
+
     spark = build_session(f"local[{cpus}]", shuffle=32)
     corpus = ensure_corpus(spark, scale)
     t_total0 = time.time()
@@ -354,6 +373,7 @@ def main():
         "extract_docs": ex["docs"],
         "extract_docs_per_sec": ex["docs_per_sec"],
         "extract_decode_errors": ex["decode_errors"],
+        "host_probe": probe,
     }
     print(json.dumps(out))
 

@@ -230,6 +230,8 @@ class ContentParser:
         data = self.data
         tok, arr_tok = _TOK_RE.match, _ARR_TOK_RE.match
         execute = self._execute
+        spans_append = self.spans.append
+        enc_get = self.font_encodings.get
         pos = self.pos
         operands: list = []
         stack: list[list] = []  # enclosing arrays' operand lists
@@ -241,22 +243,61 @@ class ContentParser:
                 # fused /Name size Tf a b c d e f Tm (text) Tj — Tf
                 # clears any pending operands (it executes), so the
                 # stale-operand hazard of Tm's first-6-floats rule
-                # (see TM below) cannot arise here
+                # (see TM below) cannot arise here.  The span-emit is
+                # the _add_text_span(_at) body inlined (same decode /
+                # trim / advance semantics, parser.rs:692-736).
                 gr = m.group
                 st = self.state
-                st.font_name = gr("lf_n").decode("latin-1")
-                st.font_size = float(gr("lf_s"))
-                tm = [
-                    float(gr("lf_a")), float(gr("lf_b")), float(gr("lf_c")),
-                    float(gr("lf_d")), float(gr("lf_e")), float(gr("lf_f")),
+                fname = gr("lf_n").decode("latin-1")
+                fsize = float(gr("lf_s"))
+                st.font_name = fname
+                st.font_size = fsize
+                e = float(gr("lf_e"))
+                f_ = float(gr("lf_f"))
+                lm = [
+                    float(gr("lf_a")), float(gr("lf_b")),
+                    float(gr("lf_c")), float(gr("lf_d")),
+                    e, f_,
                 ]
+                st.line_matrix = lm
+                raw = gr("lf_t")
+                enc = enc_get(fname)
+                text = (
+                    enc.decode_bytes(raw)
+                    if enc is not None
+                    else raw.decode("latin-1").translate(_DEFAULT_TABLE)
+                )
+                trimmed = text.strip(RUST_WS)
+                if trimmed:
+                    spans_append(TextSpan(trimmed, e, f_, fsize, fname))
+                elif text:
+                    spans_append(TextSpan(" ", e, f_, fsize, fname))
+                tm = lm[:]
+                tm[4] = e + len(raw) * fsize * 0.5
                 st.text_matrix = tm
-                st.line_matrix = tm[:]
-                self._add_text_span(gr("lf_t"))
                 if operands:
                     operands.clear()
             elif g == "TJS":
-                self._add_text_span(m.group("tj_t"))
+                st = self.state
+                tmx = st.text_matrix
+                raw = m.group("tj_t")
+                fname = st.font_name
+                enc = enc_get(fname) if fname is not None else None
+                text = (
+                    enc.decode_bytes(raw)
+                    if enc is not None
+                    else raw.decode("latin-1").translate(_DEFAULT_TABLE)
+                )
+                trimmed = text.strip(RUST_WS)
+                if trimmed:
+                    spans_append(
+                        TextSpan(trimmed, tmx[4], tmx[5], st.font_size, fname)
+                    )
+                elif text:
+                    spans_append(
+                        TextSpan(" ", tmx[4], tmx[5], st.font_size, fname)
+                    )
+                tmx[4] += len(raw) * st.font_size * 0.5
                 if operands:
                     operands.clear()
             elif g == "TM":

@@ -9,6 +9,11 @@ Python worker, shared across all documents in an Arrow batch.
 
 from __future__ import annotations
 
+import sys
+from array import array
+
+_NEEDS_BYTESWAP = sys.byteorder == "little"  # CIDs are big-endian
+
 
 def _win_ansi_table() -> dict[int, str]:
     table = {i: chr(i) for i in range(0x20, 0x7F)}
@@ -82,11 +87,16 @@ IDENTITY_TABLE = _identity_table()
 
 
 class FontEncoding:
-    __slots__ = ("map", "cid_map")
+    __slots__ = ("map", "cid_map", "_xlate")
 
     def __init__(self, byte_map: dict[int, str], cid_map: dict[int, str]):
         self.map = byte_map
         self.cid_map = cid_map
+        # str.translate table for the simple-font path: latin-1 decode
+        # maps byte b -> chr(b), exactly the reference's miss fallback
+        # (encoding.rs:150-152), so only entries that differ from
+        # chr(b) need translating.  Built lazily once per encoding.
+        self._xlate: dict[int, str] | None = None
 
     @classmethod
     def identity(cls) -> "FontEncoding":
@@ -123,8 +133,21 @@ class FontEncoding:
     def decode_bytes(self, raw: bytes) -> str:
         """CID fonts read 2-byte big-endian codes with a two-1-byte
         fallback on miss and a 1-byte tail (encoding.rs:165-192);
-        simple fonts map per byte."""
+        simple fonts map per byte via a C-level str.translate."""
         if self.cid_map:
+            if not len(raw) & 1:
+                # fast path: even length, every CID mapped — one
+                # C-level byteswapped uint16 view + dict.__getitem__
+                # map; any miss (or odd tail) falls back to the exact
+                # reference loop below
+                cids = array("H")
+                cids.frombytes(raw)
+                if _NEEDS_BYTESWAP:
+                    cids.byteswap()
+                try:
+                    return "".join(map(self.cid_map.__getitem__, cids))
+                except KeyError:
+                    pass
             out = []
             cid_map = self.cid_map
             byte_map = self.map
@@ -144,5 +167,10 @@ class FontEncoding:
                     out.append(byte_map.get(raw[i], chr(raw[i])))
                     i += 1
             return "".join(out)
-        byte_map = self.map
-        return "".join([byte_map.get(b, chr(b)) for b in raw])
+        xlate = self._xlate
+        if xlate is None:
+            byte_map = self.map
+            xlate = self._xlate = {
+                b: ch for b, ch in byte_map.items() if ch != chr(b)
+            }
+        return raw.decode("latin-1").translate(xlate)

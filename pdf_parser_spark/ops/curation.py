@@ -67,18 +67,29 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shingling runs in an Arrow-vectorized UDF (the built-in HOF
     spelling costs 8 interpreted element-ops per gram — measured 13 s
-    vs <2 s at bench scale; same gram spec, oracle unchanged), and the
-    gram table is persisted because BOTH the benchmark and corpus
-    sides derive from it.
+    vs <2 s at bench scale; same gram spec, oracle unchanged).
+
+    Only the BENCHMARK side is ever materialized: the doc_id filter is
+    applied *before* the gram UDF on each side, so the benchmark grams
+    come from a scan of ~1/97 of the corpus (then broadcast) and the
+    corpus side stays a single streaming narrow scan — at 100 TB
+    nothing corpus-sized is persisted or shuffled before the final
+    per-doc aggregation.  (Round-1 persisted the full corpus gram
+    table to share the UDF between sides; re-running the UDF over the
+    tiny benchmark slice is far cheaper than a corpus-wide
+    InMemoryRelation.)
     """
     corpus = dedup_corpus(spark, sf_dir)
-    grams = corpus.select(
-        "doc_id",
-        F.explode(_make_grams_udf()(F.col("text"))).alias("gram"),
-    ).persist()
+    gudf = _make_grams_udf()
     is_bench = (F.col("doc_id") % CONTAM_MOD == 0) & (F.col("doc_id") < 1000000)
-    bench = grams.filter(is_bench).select("gram").distinct()
-    corp = grams.filter(~is_bench)
+    bench = (
+        corpus.filter(is_bench)
+        .select(F.explode(gudf(F.col("text"))).alias("gram"))
+        .distinct()
+    )
+    corp = corpus.filter(~is_bench).select(
+        "doc_id", F.explode(gudf(F.col("text"))).alias("gram")
+    )
     return (
         corp.join(F.broadcast(bench), "gram")
         .groupBy("doc_id")

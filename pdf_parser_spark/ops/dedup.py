@@ -365,12 +365,25 @@ FROM sh
 # -- n-gram Jaccard ---------------------------------------------------------
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard over candidate pairs blocked on the
-    single smallest shingle hash (1-permutation MinHash blocking).
+    """Exact word-3-gram Jaccard over candidate pairs blocked on
+    (global-min shingle hash, log2 size band) — 1-permutation MinHash
+    blocking hardened against corpus skew.
 
-    Scale: blocking bounds the self-join — only docs sharing their
-    global-min shingle meet; Jaccard is then exact set arithmetic on
-    the shingle arrays (array_intersect/array_union, JVM-side).
+    Scale: a single min-shingle key is skew-prone on real corpora — a
+    ubiquitous boilerplate shingle that wins the min for millions of
+    documents creates one quadratic bucket.  Compositing the shuffle
+    key with ``floor(log2(|shingles|))`` splits any such bucket by
+    document size.  Output-invariant: J(A,B) ≤ min/max set-size ratio,
+    so any pair reaching JACCARD_THRESHOLD (0.5, even after the
+    4-decimal round: min ≥ 0.49995·max forbids a 2-band gap — if the
+    small doc sits below 2^(k+1) the large one cannot reach 2^(k+2))
+    lies within one band of itself; each doc emits (band, band+1) and
+    a pair is kept only at k = max(band_a, band_b), so every surviving
+    pair meets exactly once and no pair above the threshold is lost.
+    Jaccard itself is exact set arithmetic on the shingle arrays
+    (array_intersect/array_union, JVM-side).  The DuckDB oracle keeps
+    the simpler unbanded form — equality of results IS the
+    output-invariance proof, re-checked every round.
     """
     sh = _shingled(spark, sf_dir)
     # persist: same CollapseProject hazard as the LSH signature — the
@@ -380,16 +393,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "shs",
         F.array_min(F.transform("shs", lambda h: _perm(h, 0))).alias("mh0"),
+        F.floor(F.log2(F.size("shs"))).cast("long").alias("band"),
     ).persist()
-    a = keyed.alias("a")
-    b = keyed.alias("b")
+    emitted = keyed.select(
+        "doc_id",
+        "shs",
+        "mh0",
+        "band",
+        F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("k"),
+    )
+    a = emitted.alias("a")
+    b = emitted.alias("b")
     inter = F.size(F.array_intersect("a.shs", "b.shs"))
     union = F.size(F.array_union("a.shs", "b.shs"))
     return (
         a.join(
             b,
             (F.col("a.mh0") == F.col("b.mh0"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.k") == F.greatest("a.band", "b.band")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
