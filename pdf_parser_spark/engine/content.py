@@ -246,21 +246,19 @@ class ContentParser:
                 # (see TM below) cannot arise here.  The span-emit is
                 # the _add_text_span(_at) body inlined (same decode /
                 # trim / advance semantics, parser.rs:692-736).
-                gr = m.group
+                bn, bs, ba, bb, bc, bd, be, bf, raw = m.group(
+                    "lf_n", "lf_s", "lf_a", "lf_b", "lf_c", "lf_d",
+                    "lf_e", "lf_f", "lf_t",
+                )
                 st = self.state
-                fname = gr("lf_n").decode("latin-1")
-                fsize = float(gr("lf_s"))
+                fname = bn.decode("latin-1")
+                fsize = float(bs)
                 st.font_name = fname
                 st.font_size = fsize
-                e = float(gr("lf_e"))
-                f_ = float(gr("lf_f"))
-                lm = [
-                    float(gr("lf_a")), float(gr("lf_b")),
-                    float(gr("lf_c")), float(gr("lf_d")),
-                    e, f_,
-                ]
+                e = float(be)
+                f_ = float(bf)
+                lm = [float(ba), float(bb), float(bc), float(bd), e, f_]
                 st.line_matrix = lm
-                raw = gr("lf_t")
                 enc = enc_get(fname)
                 text = (
                     enc.decode_bytes(raw)

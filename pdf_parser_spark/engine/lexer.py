@@ -40,6 +40,33 @@ _KEYWORDS = {
 
 _HEXVAL = {c: int(chr(c), 16) for c in HEXDIGITS}
 
+# Fast path: one C-level match for the common token classes, with the
+# byte-at-a-time readers kept as the (identical-semantics) fallback
+# for strings, hex strings, '#'-escaped names, and error cases.  The
+# whitespace/comment prefix mirrors skip_whitespace exactly (comments
+# consume through one CR or LF).  Numbers mirror _read_number's
+# maximal munch: a real stops at its second '.', an int must not be
+# followed by '.', and malformed signs fall through to the fallback
+# so error positions/messages stay identical.
+import re as _re
+
+_LEX_RE = _re.compile(
+    # atomic: a failed alternation must NOT backtrack into a comment
+    # and tokenize its text
+    rb"(?>(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*[\r\n]?)*)"
+    rb"(?:"
+    rb"(?P<real>[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+))"
+    rb"|(?P<int>[+-]?[0-9]+)(?![0-9.])"
+    rb"|/(?>(?P<name>[^\x00\t\n\x0c\r ()<>\[\]{}/%#]*))(?!#)"
+    rb"|(?P<kw>[A-Za-z]+)"
+    rb"|(?P<dopen><<)"
+    rb"|(?P<dclose>>>)"
+    rb"|(?P<aopen>\[)"
+    rb"|(?P<aclose>\])"
+    rb"|(?P<end>\Z)"
+    rb")"
+)
+
 
 def hex_value(b: int) -> int:
     """Permissive hex-digit value; non-hex bytes count as 0
@@ -77,6 +104,51 @@ class Lexer:
 
     def next_token(self):
         """Return the next ``(kind, value)`` token or ``None`` at EOF."""
+        m = _LEX_RE.match(self.data, self.pos)
+        if m is not None:
+            g = m.lastgroup
+            if g == "int":
+                self.pos = m.end()
+                return ("int", int(m.group("int")))
+            if g == "name":
+                self.pos = m.end()
+                raw = m.group("name")
+                try:
+                    return ("name", raw.decode("utf-8"))
+                except UnicodeDecodeError:
+                    raise InvalidUtf8("Invalid UTF-8 in name") from None
+            if g == "kw":
+                tok = _KEYWORDS.get(m.group("kw"))
+                if tok is not None:
+                    self.pos = m.end()
+                    return tok
+                self.pos = m.end()  # same post-raise pos as the reader
+                raise ParseError(
+                    m.start("kw"),
+                    f"Unknown keyword: {m.group('kw').decode('latin-1')}",
+                )
+            if g == "real":
+                self.pos = m.end()
+                return ("real", float(m.group("real")))
+            if g == "dopen":
+                self.pos = m.end()
+                return ("<<", None)
+            if g == "dclose":
+                self.pos = m.end()
+                return (">>", None)
+            if g == "aopen":
+                self.pos = m.end()
+                return ("[", None)
+            if g == "aclose":
+                self.pos = m.end()
+                return ("]", None)
+            if g == "end":
+                self.pos = m.end()
+                return None
+        # strings, hex strings, '#'-escaped names, malformed input
+        return self._next_token_slow()
+
+    def _next_token_slow(self):
         self.skip_whitespace()
         data, n = self.data, len(self.data)
         pos = self.pos

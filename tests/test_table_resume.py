@@ -116,6 +116,63 @@ def test_job_cli_end_to_end(spark, pages, tmp_path):
     assert manifest["snapshots"][1]["row_count"] == 0  # resume: nothing left
 
 
+def test_job_cli_simple_format_and_page(spark, pages, tmp_path):
+    """--format simple (E6) and --page N are reachable from the
+    spark-submit entry and match the engine per url."""
+    from fixtures.gen import build_pdf_corpus
+    from pdf_parser_spark.engine import api
+    from pdf_parser_spark.engine.errors import PdfError
+
+    inp = str(tmp_path / "pages.parquet")
+    pages.write.parquet(inp)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "2"}
+
+    out_simple = str(tmp_path / "simple")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "extract.py"),
+         "--input", inp, "--output", out_simple, "--format", "simple",
+         "--master", "local[2]", "--heavy-threshold", "100000"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {
+        r_["url"]: r_["text_extracted"]
+        for r_ in spark.read.parquet(f"{out_simple}/snap-0000").collect()
+    }
+    checked = 0
+    for cid, data in build_pdf_corpus().items():
+        url = f"https://fixtures.test/{cid}/0"
+        if url not in got:
+            continue
+        try:
+            expect = api.pdf_to_simple_text(data)
+        except PdfError:
+            expect = ""
+        assert got[url] == expect, cid
+        checked += 1
+    assert checked >= 20
+
+    out_page = str(tmp_path / "page2")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "extract.py"),
+         "--input", inp, "--output", out_page, "--format", "txt",
+         "--page", "2", "--master", "local[2]",
+         "--heavy-threshold", "100000"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {
+        r_["url"]: r_ for r_ in spark.read.parquet(f"{out_page}/snap-0000").collect()
+    }
+    multi = "https://fixtures.test/multipage-nested/0"
+    single = "https://fixtures.test/min-uncompressed/0"
+    assert got[multi]["text_extracted"] == api.pdf_extract(
+        build_pdf_corpus()["multipage-nested"], "txt", page=2
+    )
+    assert got[single]["decode_error_kind"] == "page_range"
+
+
 def test_package_zip(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
