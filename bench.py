@@ -39,6 +39,7 @@ BENCH_OPS = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_cluster",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "text_token_stats",
@@ -341,6 +342,21 @@ def main():
                 ).collect()
                 best = min(best, time.time() - t0)
             out[fmt] = round(n_docs / best, 2)
+        # single-parse multi-format export (all 7 formats per doc in
+        # one narrow map) — compare against 7x per-format passes
+        from pdf_parser_spark.spark.udfs import extract_formats_udf
+
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            (
+                pages.withColumn("_fx", extract_formats_udf(F.col("html")))
+                .select(F.explode("_fx.formats").alias("f"))
+                .select(F.sum(F.length("f.text")))
+                .collect()
+            )
+            best = min(best, time.time() - t0)
+        out["all7_single_parse"] = round(n_docs / best, 2)
         out["value"] = out["txt"]
         spark.stop()
         print(json.dumps(out))

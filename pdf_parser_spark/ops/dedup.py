@@ -570,10 +570,123 @@ WHERE {_R4COS_AB} >= {COSINE_DUP_THRESHOLD}
 )
 
 
+# -- connected-components dedup clustering ----------------------------------
+
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the n-gram-Jaccard near-dup pairs:
+    every document in a pair gets the component id = the smallest
+    doc_id transitively reachable, plus the component size — the
+    canonical "pick one representative per duplicate cluster" step
+    that follows pair generation in every at-scale dedup pipeline.
+
+    Scale: iterative min-label propagation with POINTER JUMPING
+    (label(u) <- label(label(u)) each round), so convergence is
+    O(log diameter) rounds, not O(diameter) — near-dup clusters are
+    near-cliques (diameter 1-2) but chained similarity can build long
+    paths.  Each round is two small joins over (node, label) pairs —
+    the edge list is orders of magnitude smaller than the corpus, and
+    nothing document-sized is ever shuffled.  The loop is driver-side
+    control flow over DataFrame ops (the one legitimately iterative
+    operator in the suite); the fixpoint test is an empty-diff check.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = fwd.unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).persist()
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(20):  # ceil(log2) bound for any plausible diameter
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .select(edges["u"].alias("id"), "label")
+        )
+        new = (
+            labels.select("id", "label")
+            .unionByName(neighbor_min)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: follow the label's own label
+        jumped = (
+            new.alias("n")
+            .join(
+                new.select(
+                    F.col("id").alias("jid"), F.col("label").alias("jlabel")
+                ),
+                F.col("n.label") == F.col("jid"),
+                "left",
+            )
+            .select(
+                F.col("n.id").alias("id"),
+                F.coalesce(F.least("n.label", "jlabel"), F.col("n.label")).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            jumped.alias("a")
+            .join(labels.alias("b"), F.col("a.id") == F.col("b.id"))
+            .filter(F.col("a.label") != F.col("b.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("csize"))
+    out = (
+        labels.join(sizes, "label")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("component_id"),
+            "csize",
+        )
+    )
+    edges.unpersist()
+    return out
+
+
+# Oracle: transitive closure by recursive CTE (exact for the sf sizes
+# the driver checks); component id = min reachable node.  The pair
+# source is the full DEDUP_NGRAM_JACCARD_SQL as a subquery so both
+# sides cluster exactly the same edge set.
+DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_NGRAM_JACCARD_SQL}) q
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+comp AS (
+  SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id
+)
+SELECT c.doc_id, c.component_id,
+       count(*) OVER (PARTITION BY c.component_id) AS csize
+FROM comp c
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
+    "dedup_cluster": (dedup_cluster, DEDUP_CLUSTER_SQL),
 }
