@@ -51,6 +51,7 @@ BENCH_OPS = [
     "domain_stats",
     "sample_hash",
     "pii_redact",
+    "corpus_select",
     "heavy_tail_classes",
     "lineage_by_source",
     "resume_anti_join",

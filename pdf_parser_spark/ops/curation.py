@@ -222,7 +222,122 @@ FROM aug
 """
 
 
+# -- end-to-end corpus selection --------------------------------------------
+
+QUALITY_KEEP_MIN = 0.4  # quality_score floor (rejects ~22% of synthetic docs)
+
+
+def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final corpus cut: one keep/reject verdict per document
+    composing the three curation gates every training pipeline ships —
+    exact-dup keeper choice, shallow-feature quality floor, and
+    benchmark decontamination.  Reject precedence: ``exact_dup`` >
+    ``low_quality`` > ``contaminated``; survivors read ``kept``.
+
+    Scale: quality features are a narrow scan (built-ins only); the
+    keeper choice is one window over ``md5(text)`` (hash-keyed
+    shuffle, uniform by construction); decontamination broadcasts the
+    tiny benchmark gram set against a second narrow scan — nothing
+    corpus-sized is ever collected or persisted.
+    """
+    from pyspark.sql import Window
+
+    from pdf_parser_spark.ops.textstats import STOPWORDS
+    from pdf_parser_spark.ops.common import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    n = F.size(tok)
+    stop_ratio = F.size(F.filter(tok, lambda t: t.isin(STOPWORDS))).cast(
+        "double"
+    ) / n
+    diversity = F.size(F.array_distinct(tok)).cast("double") / n
+    length_sat = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
+    quality = roundn(0.4 * stop_ratio + 0.3 * diversity + 0.3 * length_sat, 4)
+
+    keeper = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    )
+
+    gudf = _make_grams_udf()
+    is_bench = F.col("doc_id") % CONTAM_MOD == 0
+    bench_grams = (
+        docs.filter(is_bench)
+        .select(F.explode(gudf(F.col("text"))).alias("gram"))
+        .distinct()
+    )
+    contaminated_ids = (
+        docs.filter(~is_bench)
+        .select("doc_id", F.explode(gudf(F.col("text"))).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+
+    verdict = (
+        docs.select(
+            "doc_id",
+            quality.alias("quality_score"),
+            keeper.alias("is_keeper"),
+        )
+        .join(contaminated_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality_score",
+            F.when(~F.col("is_keeper"), F.lit("exact_dup"))
+            .when(F.col("quality_score") < QUALITY_KEEP_MIN, F.lit("low_quality"))
+            .when(F.col("contaminated"), F.lit("contaminated"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+        .withColumn("keep", F.col("verdict") == "kept")
+    )
+    return verdict
+
+
+CORPUS_SELECT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, text, {tokens_sql("text")} AS t FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         (floor((0.4 * (len(list_filter(t, x -> x IN ('the','a','of','and','in','to','is')))::DOUBLE / len(t))
+               + 0.3 * (len(list_distinct(t))::DOUBLE / len(t))
+               + 0.3 * least(len(t)::DOUBLE / 50.0, 1.0)) * 10000.0 + 0.5) / 10000.0) AS quality_score
+  FROM tok
+),
+keeper AS (
+  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest({shingles_sql(tokens_sql("text"), CONTAM_N)}) AS gram
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {CONTAM_MOD} = 0
+),
+contam AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)
+  WHERE g.doc_id % {CONTAM_MOD} <> 0
+),
+verdicts AS (
+  SELECT f.doc_id, f.quality_score,
+         CASE WHEN NOT k.is_keeper THEN 'exact_dup'
+              WHEN f.quality_score < {QUALITY_KEEP_MIN} THEN 'low_quality'
+              WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+              ELSE 'kept' END AS verdict
+  FROM feat f
+  JOIN keeper k ON k.doc_id = f.doc_id
+  LEFT JOIN contam c ON c.doc_id = f.doc_id
+)
+SELECT doc_id, quality_score, verdict, verdict = 'kept' AS keep FROM verdicts
+"""
+
+
 QUERIES = {
+    "corpus_select": (corpus_select, CORPUS_SELECT_SQL),
     "contamination_ngram": (contamination_ngram, CONTAMINATION_NGRAM_SQL),
     "domain_stats": (domain_stats, DOMAIN_STATS_SQL),
     "sample_hash": (sample_hash, SAMPLE_HASH_SQL),
