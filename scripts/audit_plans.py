@@ -72,6 +72,26 @@ def main() -> None:
          "Exchange" not in p and "ArrowEvalPython" not in p)
     )
 
+    # 4d. contamination never materializes a corpus-wide gram table
+    p2 = plan_of(contamination_ngram(spark, "/root/testdata/sf0.001"))
+    checks.append(("contamination-no-corpus-cache", "InMemoryRelation" not in p2))
+
+    # 4e. the skew-hardened jaccard self-join shuffles on the COMPOSITE
+    # (mh0, band-emission) key, not mh0 alone
+    from pdf_parser_spark.ops.dedup import dedup_ngram_jaccard
+
+    p = plan_of(dedup_ngram_jaccard(spark, "/root/testdata/sf0.001"))
+    join_seg = p.split("Join")[1][:400] if "Join" in p else ""
+    checks.append(
+        ("jaccard-composite-join-key", "mh0" in join_seg and "k#" in join_seg)
+    )
+
+    # 4f. corpus_select broadcasts the benchmark gram side
+    from pdf_parser_spark.ops.curation import corpus_select
+
+    p = plan_of(corpus_select(spark, "/root/testdata/sf0.001"))
+    checks.append(("corpus-select-broadcast-bench", "BroadcastHashJoin" in p))
+
     # 5. arrow batch size applied
     checks.append(
         (
