@@ -43,17 +43,8 @@ class PageElement:
         return f"PageElement({self.kind}{self.level or ''}, {self.text!r})"
 
 
-class _ClassifiedLine:
-    __slots__ = ("kind", "level", "spans", "y", "text")
-
-    def __init__(self, kind, level, spans, y, text):
-        self.kind = kind
-        self.level = level
-        self.spans = spans
-        self.y = y
-        self.text = text
-
-
+# classified lines travel as plain tuples (kind, level, spans, y,
+# text) — attribute objects measurably dominate 60-page documents
 _TABLE_CANDIDATE = "table_candidate"
 
 
@@ -115,7 +106,7 @@ def count_x_clusters(spans: list[TextSpan]) -> int:
     return clusters
 
 
-def _classify_line(spans: list[TextSpan], body_font_size: float) -> _ClassifiedLine:
+def _classify_line(spans: list[TextSpan], body_font_size: float):
     if len(spans) == 1:  # the common case after span merging
         s = spans[0]
         y = s.y
@@ -143,44 +134,44 @@ def _classify_line(spans: list[TextSpan], body_font_size: float) -> _ClassifiedL
         kind, level = _TABLE_CANDIDATE, 0
     else:
         kind, level = PARAGRAPH, 0
-    return _ClassifiedLine(kind, level, spans, y, text)
+    return (kind, level, spans, y, text)
 
 
-def _merge_lines(lines: list[_ClassifiedLine], body_font_size: float) -> list[PageElement]:
+def _merge_lines(lines: list[tuple], body_font_size: float) -> list[PageElement]:
     elements: list[PageElement] = []
     i = 0
     n = len(lines)
     while i < n:
-        line = lines[i]
-        if line.kind == HEADING:
-            elements.append(PageElement(HEADING, level=line.level, text=line.text))
+        kind, level, spans, y, text = lines[i]
+        if kind == HEADING:
+            elements.append(PageElement(HEADING, level=level, text=text))
             i += 1
-        elif line.kind == _TABLE_CANDIDATE:
+        elif kind == _TABLE_CANDIDATE:
             start = i
-            while i < n and lines[i].kind == _TABLE_CANDIDATE:
+            while i < n and lines[i][0] == _TABLE_CANDIDATE:
                 i += 1
             count = i - start
             if count >= 2:
-                all_spans = [s for l in lines[start:i] for s in l.spans]
+                all_spans = [s for l in lines[start:i] for s in l[2]]
                 elements.append(PageElement(TABLE, table=Table.from_spans(all_spans)))
             else:
                 # a lone candidate needs ≥4 x-clusters, else it's prose
                 # (layout.rs:211-220)
-                if count_x_clusters(lines[start].spans) >= 4:
+                if count_x_clusters(lines[start][2]) >= 4:
                     elements.append(
-                        PageElement(TABLE, table=Table.from_spans(list(lines[start].spans)))
+                        PageElement(TABLE, table=Table.from_spans(list(lines[start][2])))
                     )
                 else:
-                    elements.append(PageElement(PARAGRAPH, text=lines[start].text))
+                    elements.append(PageElement(PARAGRAPH, text=lines[start][4]))
         else:  # paragraph run
             parts: list[str] = []
-            prev_y = line.y
-            while i < n and lines[i].kind == PARAGRAPH:
-                gap = abs(prev_y - lines[i].y)
-                if parts and gap > body_font_size * 1.5:
+            prev_y = y
+            while i < n and lines[i][0] == PARAGRAPH:
+                ly = lines[i][3]
+                if parts and abs(prev_y - ly) > body_font_size * 1.5:
                     break
-                parts.append(lines[i].text)
-                prev_y = lines[i].y
+                parts.append(lines[i][4])
+                prev_y = ly
                 i += 1
             text = " ".join(parts)
             if text.strip(RUST_WS):
