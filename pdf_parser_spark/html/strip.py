@@ -40,7 +40,10 @@ _MAX_LINK_DENSITY = 0.333333
 
 
 class Block:
-    __slots__ = ("text_parts", "link_chars", "tag", "in_boiler", "depth", "_text")
+    __slots__ = (
+        "text_parts", "link_chars", "tag", "in_boiler", "depth",
+        "_text", "_n_words",
+    )
 
     def __init__(self, tag: str, in_boiler: bool, depth: int):
         self.text_parts: list[str] = []
@@ -49,6 +52,7 @@ class Block:
         self.in_boiler = in_boiler
         self.depth = depth
         self._text: str | None = None
+        self._n_words: int | None = None
 
     @property
     def text(self) -> str:
@@ -65,7 +69,10 @@ class Block:
 
     @property
     def n_words(self) -> int:
-        return len(self.text.split())
+        n = self._n_words
+        if n is None:
+            n = self._n_words = len(self.text.split())
+        return n
 
     @property
     def link_density(self) -> float:
@@ -132,7 +139,7 @@ class _BlockParser(HTMLParser):
             self._flush()
 
     def handle_data(self, data):
-        if self._ignore_depth or not data.strip():
+        if self._ignore_depth or not data or data.isspace():
             return
         if self._current is None:
             self._current = Block("p", self._boiler_depth > 0, len(self._tag_stack))
