@@ -88,3 +88,33 @@ def test_html_boilerplate_removed():
     r2 = extract_document(htmls["link-dense"])
     assert "Popular post" not in r2["text"]
     assert "only real content" in r2["text"]
+
+
+def test_extract_all_formats_matches_per_format_functions():
+    """Single-parse multi-format export must be byte-identical to the
+    lib.rs-mirror per-format functions on every fixture."""
+    from fixtures.gen import build_pdf_corpus
+    from pdf_parser_spark.engine import api
+    from pdf_parser_spark.engine.errors import PdfError
+
+    fns = {
+        "txt": api.pdf_to_text, "md": api.pdf_to_markdown,
+        "csv": api.pdf_to_csv, "tsv": api.pdf_to_tsv,
+        "text": api.pdf_to_aligned_text, "raw": api.pdf_to_raw_spans,
+        "simple": api.pdf_to_simple_text,
+    }
+    n = 0
+    for cid, data in build_pdf_corpus().items():
+        try:
+            all_f = api.extract_all_formats(data)
+        except PdfError:
+            all_f = None
+        for fmt, fn in fns.items():
+            try:
+                expect = fn(data)
+            except PdfError:
+                expect = None
+            got = None if all_f is None else all_f[fmt]
+            assert got == expect, (cid, fmt)
+            n += 1
+    assert n >= 7 * 25
