@@ -81,9 +81,10 @@ def _extract_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Single-parse multi-format plan: ONE narrow map parses each
     document once and renders all 7 formats from the same span sets
-    (engine.api.extract_all_formats), then explodes to (url, fmt)
-    rows — a per-format loop would re-parse every document 7x."""
-    from pdf_parser_spark.spark.udfs import extract_formats_udf
+    (engine.api.extract_all_formats) into flat string fields, then a
+    JVM-side ``stack`` unpivots to (url, fmt) rows — a per-format loop
+    would re-parse every document 7x."""
+    from pdf_parser_spark.spark.udfs import extract_formats_udf, unpivot_formats
 
     pages = _pages_df(spark, scale=1)
     return (
@@ -91,13 +92,13 @@ def _extract_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "url",
             F.col("_fx.error_kind").alias("decode_error_kind"),
-            F.explode("_fx.formats").alias("f"),
+            unpivot_formats("_fx"),
         )
         .select(
             "url",
-            F.col("f.fmt").alias("fmt"),
-            F.md5(F.col("f.text").cast("binary")).alias("text_md5"),
-            F.length("f.text").alias("text_len"),
+            "fmt",
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+            F.length("text").alias("text_len"),
             "decode_error_kind",
         )
     )

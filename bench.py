@@ -345,15 +345,15 @@ def main():
             out[fmt] = round(n_docs / best, 2)
         # single-parse multi-format export (all 7 formats per doc in
         # one narrow map) — compare against 7x per-format passes
-        from pdf_parser_spark.spark.udfs import extract_formats_udf
+        from pdf_parser_spark.spark.udfs import extract_formats_udf, unpivot_formats
 
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
             (
                 pages.withColumn("_fx", extract_formats_udf(F.col("html")))
-                .select(F.explode("_fx.formats").alias("f"))
-                .select(F.sum(F.length("f.text")))
+                .select(unpivot_formats("_fx"))
+                .select(F.sum(F.length("text")))
                 .collect()
             )
             best = min(best, time.time() - t0)

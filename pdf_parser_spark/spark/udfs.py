@@ -29,20 +29,17 @@ from pdf_parser_spark.engine.api import (
 )
 from pdf_parser_spark.engine.errors import PdfError
 
-SPAN_TYPE = ArrayType(
-    StructType(
-        [
-            StructField("start", LongType()),
-            StructField("end", LongType()),
-            StructField("kind", StringType()),
-        ]
-    )
-)
-
+# Char-offset spans cross the Arrow boundary as three PARALLEL
+# PRIMITIVE arrays and are zipped back to array<struct> JVM-side in
+# with_extraction: building array<struct> from per-row Python dicts
+# pays a per-field object conversion that measurably taxes the whole
+# UDF (the multi-format UDF lost 6x to the same pattern).
 EXTRACT_TYPE = StructType(
     [
         StructField("text", StringType()),
-        StructField("spans", SPAN_TYPE),
+        StructField("s_start", ArrayType(LongType())),
+        StructField("s_end", ArrayType(LongType())),
+        StructField("s_kind", ArrayType(StringType())),
         StructField("n_pages", IntegerType()),
         StructField("n_elements", IntegerType()),
         StructField("doc_type", StringType()),
@@ -51,18 +48,20 @@ EXTRACT_TYPE = StructType(
     ]
 )
 
+SPAN_STRUCT_DDL = "array<struct<start:bigint,end:bigint,kind:string>>"
+
 
 def _extract_batch(html: pd.Series, fmt: str, page: int | None) -> pd.DataFrame:
     rows = []
     for data in html:
         r = extract_document(data, fmt=fmt, page=page)
+        spans = r["spans"]
         rows.append(
             (
                 r["text"],
-                [
-                    {"start": s, "end": e, "kind": k}
-                    for (s, e, k) in r["spans"]
-                ],
+                [s[0] for s in spans],
+                [s[1] for s in spans],
+                [s[2] for s in spans],
                 r["n_pages"],
                 r["n_elements"],
                 r["doc_type"],
@@ -74,7 +73,9 @@ def _extract_batch(html: pd.Series, fmt: str, page: int | None) -> pd.DataFrame:
         rows,
         columns=[
             "text",
-            "spans",
+            "s_start",
+            "s_end",
+            "s_kind",
             "n_pages",
             "n_elements",
             "doc_type",
@@ -107,7 +108,12 @@ def with_extraction(df, fmt: str = "txt", html_col: str = "html",
     return (
         df.withColumn("_ex", extract(F.col(html_col)))
         .withColumn("text_extracted", F.col("_ex.text"))
-        .withColumn("spans", F.col("_ex.spans"))
+        .withColumn(
+            "spans",
+            F.arrays_zip("_ex.s_start", "_ex.s_end", "_ex.s_kind").cast(
+                SPAN_STRUCT_DDL
+            ),
+        )
         .withColumn("n_pages", F.col("_ex.n_pages"))
         .withColumn("n_elements", F.col("_ex.n_elements"))
         .withColumn("doc_type", F.col("_ex.doc_type"))
@@ -118,18 +124,8 @@ def with_extraction(df, fmt: str = "txt", html_col: str = "html",
 
 
 FORMATS_TYPE = StructType(
-    [
-        StructField(
-            "formats",
-            ArrayType(
-                StructType(
-                    [
-                        StructField("fmt", StringType()),
-                        StructField("text", StringType()),
-                    ]
-                )
-            ),
-        ),
+    [StructField(f, StringType()) for f in ALL_FORMATS]
+    + [
         StructField("doc_type", StringType()),
         StructField("error", StringType()),
         StructField("error_kind", StringType()),
@@ -142,7 +138,13 @@ def extract_formats_udf(html: pd.Series) -> pd.DataFrame:
     """All output formats from ONE parse per document
     (api.extract_all_formats) — the production multi-format export.
     A per-format run_extract would re-parse every document once per
-    format; parsing dominates, so this is ~5x cheaper at any scale."""
+    format; parsing dominates, so this is ~5x cheaper at any scale.
+
+    Returns the 7 renders as FLAT string fields (unpivot with
+    ``stack`` JVM-side): an array<struct> built from Python dicts
+    costs more in Arrow conversion than the extraction itself
+    (measured ~20x on the bench corpus).
+    """
     rows = []
     for data in html:
         doc_type, error, error_kind = "unknown", None, None
@@ -163,14 +165,18 @@ def extract_formats_udf(html: pd.Series) -> pd.DataFrame:
             error, error_kind = r["error"], r["error_kind"]
             texts = {f: r["text"] for f in ALL_FORMATS}
         rows.append(
-            (
-                [
-                    {"fmt": f, "text": texts.get(f, "")}
-                    for f in ALL_FORMATS
-                ],
-                doc_type,
-                error,
-                error_kind,
-            )
+            tuple(texts.get(f, "") for f in ALL_FORMATS)
+            + (doc_type, error, error_kind)
         )
-    return pd.DataFrame(rows, columns=["formats", "doc_type", "error", "error_kind"])
+    return pd.DataFrame(
+        rows, columns=list(ALL_FORMATS) + ["doc_type", "error", "error_kind"]
+    )
+
+
+def unpivot_formats(col: str = "_fx"):
+    """JVM-side unpivot of the flat format fields to (fmt, text) rows
+    — pure codegen, no Python."""
+    from pyspark.sql import functions as F
+
+    args = ", ".join(f"'{f}', {col}.{f}" for f in ALL_FORMATS)
+    return F.expr(f"stack({len(ALL_FORMATS)}, {args}) as (fmt, text)")

@@ -115,13 +115,12 @@ def test_multiformat_single_parse_matches_engine(spark, pages_df):
     per-format engine functions byte-for-byte per (url, fmt)."""
     from pdf_parser_spark.engine import api
     from pdf_parser_spark.engine.errors import PdfError
-    from pdf_parser_spark.spark.udfs import extract_formats_udf
+    from pdf_parser_spark.spark.udfs import extract_formats_udf, unpivot_formats
 
     got = {}
     rows = (
         pages_df.withColumn("_fx", extract_formats_udf(F.col("html")))
-        .select("url", F.explode("_fx.formats").alias("f"))
-        .select("url", "f.fmt", "f.text")
+        .select("url", unpivot_formats("_fx"))
         .collect()
     )
     for r in rows:
