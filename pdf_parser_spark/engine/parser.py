@@ -10,9 +10,24 @@ reference (:187-254).
 
 from __future__ import annotations
 
+import re as _re
+
 from pdf_parser_spark.engine.errors import ParseError
 from pdf_parser_spark.engine.lexer import Lexer
 from pdf_parser_spark.engine.objects import NULL, Name, Ref, Stream
+
+# One C-level probe for the ``gen R`` tail of an indirect reference —
+# replaces the two-token pushback lookahead on the hot path.  The
+# whitespace/comment prefixes and the int/keyword boundaries mirror
+# the lexer exactly (atomic, so no backtracking into comments); any
+# non-matching shape falls back to the token-level lookahead with
+# identical semantics and error behavior.
+_GEN_REF_RE = _re.compile(
+    rb"(?>(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*[\r\n]?)*)"
+    rb"([0-9]+)(?![0-9.])"
+    rb"(?>(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*[\r\n]?)*)"
+    rb"R(?![A-Za-z])"
+)
 
 
 class Parser:
@@ -70,6 +85,11 @@ class Parser:
     def _parse_int_or_ref(self, first: int):
         """``42`` vs ``42 0 R`` via two-token lookahead
         (object.rs:80-110)."""
+        if not self.peeked:
+            m = _GEN_REF_RE.match(self.lexer.data, self.lexer.pos)
+            if m is not None:
+                self.lexer.pos = m.end()
+                return Ref(first & 0xFFFFFFFF, int(m.group(1)) & 0xFFFF)
         tok2 = self._next_token()
         if tok2 is None:
             return first
