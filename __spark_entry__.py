@@ -22,12 +22,25 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
+# the BASELINE.json input_hint shape exactly:
+# (url:string, warc_ts:timestamp, html:binary, text:string, lang:string)
 PAGES_SCHEMA = StructType(
     [
         StructField("url", StringType()),
-        StructField("warc_ts", LongType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+_PAGES_RAW_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts_us", LongType()),
         StructField("html", BinaryType()),
         StructField("text", StringType()),
         StructField("lang", StringType()),
@@ -36,15 +49,24 @@ PAGES_SCHEMA = StructType(
 
 
 def _pages_df(spark: SparkSession, scale: int = 1) -> DataFrame:
-    """Deterministic synthetic pages table (url, warc_ts, html, text,
-    lang) from the fixture corpus — no external data."""
+    """Deterministic synthetic pages table in the input_hint shape
+    (url, warc_ts TIMESTAMP, html, text, lang) from the fixture
+    corpus — no external data.  The generator emits epoch micros; the
+    timestamp conversion happens JVM-side (timestamp_micros) so the
+    value is exact and timezone-free."""
     from fixtures.gen import build_pages_rows
 
     rows = [
         (url, ts, bytearray(data), text, lang)
         for (url, ts, data, text, lang) in build_pages_rows(scale)
     ]
-    return spark.createDataFrame(rows, PAGES_SCHEMA)
+    return spark.createDataFrame(rows, _PAGES_RAW_SCHEMA).select(
+        "url",
+        F.timestamp_micros("warc_ts_us").alias("warc_ts"),
+        "html",
+        "text",
+        "lang",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

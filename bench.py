@@ -122,13 +122,18 @@ def build_session(master: str, shuffle: int):
 
 
 def _fixture_fingerprint() -> str:
-    """Content hash of the fixture generator — keyed into the corpus
-    cache path so a generator change invalidates cached corpora
-    instead of silently benchmarking stale data across rounds."""
+    """Content hash of the fixture generator AND the pages-schema
+    module — keyed into the corpus cache path so a change to either
+    invalidates cached corpora instead of silently benchmarking stale
+    data across rounds."""
     import hashlib
 
-    with open(os.path.join(REPO, "fixtures", "gen.py"), "rb") as f:
-        return hashlib.md5(f.read()).hexdigest()[:10]
+    h = hashlib.md5()
+    for name in (os.path.join(REPO, "fixtures", "gen.py"),
+                 os.path.join(REPO, "__spark_entry__.py")):
+        with open(name, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
 
 
 def ensure_corpus(spark, scale: int) -> str:
@@ -154,7 +159,7 @@ def ensure_corpus(spark, scale: int) -> str:
         )
         .select(
             F.concat_ws("/", "url", F.col("rep").cast("string")).alias("url"),
-            (F.col("warc_ts") + F.col("rep")).alias("warc_ts"),
+            F.timestamp_micros(F.unix_micros("warc_ts") + F.col("rep")).alias("warc_ts"),
             "html",
             "text",
             "lang",

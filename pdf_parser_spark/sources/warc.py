@@ -144,11 +144,25 @@ def read_warc_pages(spark, path):
             out = []
             for blob in pdf["content"]:
                 out.extend(warc_to_page_rows(bytes(blob)))
-            yield pd.DataFrame(out, columns=PAGES_COLUMNS)
+            yield pd.DataFrame(
+                out,
+                columns=["url", "warc_ts_us", "html", "text", "lang"],
+            )
 
-    return files.mapInPandas(
+    from pyspark.sql import functions as F
+
+    raw = files.mapInPandas(
         expand,
-        schema="url string, warc_ts long, html binary, text string, lang string",
+        schema="url string, warc_ts_us long, html binary, text string, lang string",
+    )
+    # input_hint shape: warc_ts is a TIMESTAMP (converted JVM-side
+    # from the exact epoch-micros the WARC-Date header parses to)
+    return raw.select(
+        "url",
+        F.timestamp_micros("warc_ts_us").alias("warc_ts"),
+        "html",
+        "text",
+        "lang",
     )
 
 

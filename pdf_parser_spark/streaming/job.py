@@ -37,10 +37,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     BinaryType,
-    LongType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from pdf_parser_spark.spark.job import lineage, run_extract
@@ -48,7 +48,7 @@ from pdf_parser_spark.spark.job import lineage, run_extract
 PAGES_STREAM_SCHEMA = StructType(
     [
         StructField("url", StringType()),
-        StructField("warc_ts", LongType()),
+        StructField("warc_ts", TimestampType()),
         StructField("html", BinaryType()),
         StructField("text", StringType()),
         StructField("lang", StringType()),

@@ -32,8 +32,7 @@ def main() -> None:
 
     pages_src = entrymod._pages_df(spark, scale=1)
     tmp = "/tmp/pdf_parser_spark_audit_pages.parquet"
-    if not os.path.exists(tmp + "/_SUCCESS"):
-        pages_src.write.mode("overwrite").parquet(tmp)
+    pages_src.write.mode("overwrite").parquet(tmp)
     pages = spark.read.parquet(tmp)
 
     # 1. column pruning through the UDF
@@ -47,7 +46,7 @@ def main() -> None:
     checks.append(("broadcast-left-anti", "LeftAnti" in p and "Broadcast" in p))
 
     # 3. predicate pushdown to the scan
-    p = plan_of(pages.filter(F.col("warc_ts") > 5).select("url"))
+    p = plan_of(pages.filter(F.col("warc_ts") > F.lit("2025-01-01 00:00:05").cast("timestamp")).select("url"))
     checks.append(("pushdown-warc-ts", "warc_ts" in p.split("DataFilters")[-1][:200]
                    if "DataFilters" in p else False))
 

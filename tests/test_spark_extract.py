@@ -9,10 +9,10 @@ pyspark = pytest.importorskip("pyspark")
 from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql.types import (  # noqa: E402
     BinaryType,
-    LongType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from fixtures.gen import build_html_corpus, build_pdf_corpus  # noqa: E402
@@ -24,10 +24,12 @@ from pdf_parser_spark.spark.job import (  # noqa: E402
     run_extract,
 )
 
+_EPOCH = __import__("datetime").datetime(2025, 1, 1)
+
 PAGES_SCHEMA = StructType(
     [
         StructField("url", StringType()),
-        StructField("warc_ts", LongType()),
+        StructField("warc_ts", TimestampType()),
         StructField("html", BinaryType()),
         StructField("text", StringType()),
         StructField("lang", StringType()),
@@ -48,7 +50,7 @@ def spark():
 def pages_df(spark):
     rows = []
     for cid, data in {**build_pdf_corpus(), **build_html_corpus()}.items():
-        rows.append((f"https://fixtures.test/{cid}", 0, bytearray(data), "", "en"))
+        rows.append((f"https://fixtures.test/{cid}", _EPOCH, bytearray(data), "", "en"))
     return spark.createDataFrame(rows, PAGES_SCHEMA)
 
 

@@ -24,9 +24,12 @@ def spark():
     s.stop()
 
 
+_EPOCH = __import__("datetime").datetime(2025, 1, 1)
+
+
 def _rows(case_ids, corpus):
     return [
-        (f"https://fixtures.test/{cid}", 0, bytearray(corpus[cid]), "", "en")
+        (f"https://fixtures.test/{cid}", _EPOCH, bytearray(corpus[cid]), "", "en")
         for cid in case_ids
     ]
 

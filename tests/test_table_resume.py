@@ -35,8 +35,16 @@ def pages(spark):
 
     from tests.test_spark_extract import PAGES_SCHEMA
 
+    import datetime
+
     rows = [
-        (url, ts, bytearray(data), text, lang)
+        (
+            url,
+            datetime.datetime.utcfromtimestamp(ts / 1_000_000),
+            bytearray(data),
+            text,
+            lang,
+        )
         for url, ts, data, text, lang in build_pages_rows(scale=1)
     ]
     return spark.createDataFrame(rows, PAGES_SCHEMA)
