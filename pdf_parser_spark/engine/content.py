@@ -58,7 +58,10 @@ _WS_PREFIX = rb"(?:[\x00\t\n\x0c\r ]+|%[^\n]*)*"
 # plain (comment-free) whitespace, and escape-free literal strings.
 # Anything off-pattern simply fails the superop and is re-lexed one
 # token at a time, so byte-identity is preserved by construction.
-_N = rb"[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?![0-9.])"
+# atomic core: without (?>...), a failing guard after a long digit
+# run re-splits [0-9]+ \.? [0-9]* one position at a time with an
+# O(n) re-scan each — quadratic on a crafted all-digits stream
+_N = rb"[+-]?(?>[0-9]+\.?[0-9]*|\.[0-9]+)(?![0-9.])"
 _W = rb"[\x00\t\n\x0c\r ]*"
 _W1 = rb"[\x00\t\n\x0c\r ]+"
 _G = rb"(?![A-Za-z*'\"])"  # operator token ends here

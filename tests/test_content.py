@@ -106,3 +106,29 @@ def test_merge_large_gap_keeps_columns():
     content = b"BT /F1 10 Tf 1 0 0 1 0 0 Tm (Left) Tj 1 0 0 1 300 0 Tm (Right) Tj ET"
     spans = parse(content)
     assert [s.text for s in spans] == ["Left", "Right"]
+
+
+def test_adversarial_content_streams_parse_in_linear_time():
+    """Crafted content streams (long digit/whitespace/junk runs) must
+    not trigger quadratic regex backtracking in the tokenizer — the
+    number core is atomic, whitespace prefixes cannot re-split, and
+    every position has a catch-all alternative.  DoS hardening for
+    hostile PDFs at crawl scale."""
+    import time
+
+    from pdf_parser_spark.engine.content import ContentParser
+
+    cases = [
+        b"9" * 300_000,
+        (b"9" * 1000 + b" ") * 300,
+        b"[" + b"(a) -1 " * 20000,
+        b"1 2 3 4 5 " * 40000,
+        b"%" + b"x" * 300_000,
+        b"(" + b"a" * 300_000,
+        b"<" + b"41" * 100_000,
+        b"/" + b"N" * 300_000,
+    ]
+    for i, c in enumerate(cases):
+        t0 = time.perf_counter()
+        ContentParser(c).parse()
+        assert time.perf_counter() - t0 < 5.0, i
