@@ -142,3 +142,24 @@ def test_extract_html_uses_fast_path_identically():
         out = "".join(parts)
         assert text == (out + "\n" if out else out)
         assert spans == expect_spans
+
+
+def test_adversarial_html_parses_in_linear_time():
+    """Hostile markup (huge unclosed values/attrs/names, comment and
+    marked-section runs, entity and bare-'<' soup) must tokenize in
+    linear time — crawl-scale DoS hardening."""
+    import time
+
+    cases = [
+        b"<a b=" + b"c" * 200_000,
+        b"<p " + b'x="y" ' * 30_000,
+        b"<" + b"a" * 200_000,
+        b"<!--" + b"-" * 200_000,
+        b"<![CDATA[" + b"]" * 200_000,
+        b"&" * 100_000,
+        b"<p>" + b"<" * 100_000 + b"</p>",
+    ]
+    for i, c in enumerate(cases):
+        t0 = time.perf_counter()
+        segment_blocks(c, engine="fast")
+        assert time.perf_counter() - t0 < 10.0, i
