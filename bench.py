@@ -286,12 +286,15 @@ def main():
         import subprocess
 
         def run_one(n: int) -> dict:
+            pre = host_probe()  # capacity bracketing THIS leg
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--scaling-one", str(n), "--sf-dir", args.sf_dir],
                 capture_output=True, text=True, check=True,
             )
-            return json.loads(proc.stdout.strip().splitlines()[-1])
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            r["leg_probe"] = pre
+            return r
 
         probes = [host_probe()]
         results = {8: run_one(8), 32: run_one(32)}
