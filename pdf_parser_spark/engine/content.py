@@ -98,6 +98,26 @@ _SUPER_TJA = (  # [ (str) -n (str) ... ] TJ with only simple items
 _SUPER_TJS = rb"\((?P<tj_t>[^()\\]*)\)" + _W + rb"Tj" + _G + rb"(?P<TJS>)"
 _TJ_ITEM_RE = _re.compile(rb"(" + _PSTR + rb")|(" + _N + rb")")
 
+# Standalone LINE matcher for batch-consuming RUNS of the fused
+# /Name size Tf a b c d e f Tm (text) Tj sequence (positional groups,
+# leading plain whitespace folded in).  Tm sets the matrices
+# ABSOLUTELY, so consecutive LINE tokens are data-independent: a run
+# can be consumed item-by-item against this much simpler pattern
+# (no master-alternation dispatch) and only the LAST item's a-d
+# values ever reach the graphics state.  Comments between items make
+# the item regex fail → the generic loop resumes, so semantics are
+# byte-identical by construction.
+_LINE_ITEM_RE = _re.compile(
+    _W
+    + rb"/(" + _NAME_B + rb")" + _W1 + rb"(" + _N + rb")"
+    + _W + rb"Tf" + _G + _W
+    + rb"(" + _N + rb")" + _W1 + rb"(" + _N + rb")" + _W1
+    + rb"(" + _N + rb")" + _W1 + rb"(" + _N + rb")" + _W1
+    + rb"(" + _N + rb")" + _W1 + rb"(" + _N + rb")"
+    + _W + rb"Tm" + _G + _W
+    + rb"\(([^()\\]*)\)" + _W + rb"Tj" + _G
+)
+
 _TOK_RE = _re.compile(
     _WS_PREFIX
     + rb"(?:"
@@ -232,6 +252,7 @@ class ContentParser:
         """
         data = self.data
         tok, arr_tok = _TOK_RE.match, _ARR_TOK_RE.match
+        _line_item = _LINE_ITEM_RE.match
         execute = self._execute
         spans_append = self.spans.append
         enc_get = self.font_encodings.get
@@ -278,6 +299,51 @@ class ContentParser:
                 st.text_matrix = tm
                 if operands:
                     operands.clear()
+                # batch-consume a following run of LINE tokens (see
+                # _LINE_ITEM_RE): per-item work is only decode + span
+                # emit; matrix state is reconstructed from the last
+                # item alone
+                item = _line_item(data, pos)
+                if item is not None:
+                    fname_of: dict[bytes, str] = {bn: fname}
+                    fsize_of: dict[bytes, float] = {bs: fsize}
+                    last = None
+                    while item is not None:
+                        gs = item.groups()
+                        bn, bs, raw = gs[0], gs[1], gs[8]
+                        fname = fname_of.get(bn)
+                        if fname is None:
+                            fname = fname_of[bn] = bn.decode("latin-1")
+                        fsize = fsize_of.get(bs)
+                        if fsize is None:
+                            fsize = fsize_of[bs] = float(bs)
+                        e = float(gs[6])
+                        f_ = float(gs[7])
+                        enc = enc_get(fname)
+                        text = (
+                            enc.decode_bytes(raw)
+                            if enc is not None
+                            else raw.decode("latin-1").translate(_DEFAULT_TABLE)
+                        )
+                        trimmed = text.strip(RUST_WS)
+                        if trimmed:
+                            spans_append(TextSpan(trimmed, e, f_, fsize, fname))
+                        elif text:
+                            spans_append(TextSpan(" ", e, f_, fsize, fname))
+                        last = gs
+                        pos = item.end()
+                        item = _line_item(data, pos)
+                    if last is not None:
+                        st.font_name = fname
+                        st.font_size = fsize
+                        lm = [
+                            float(last[2]), float(last[3]),
+                            float(last[4]), float(last[5]), e, f_,
+                        ]
+                        st.line_matrix = lm
+                        tm = lm[:]
+                        tm[4] = e + len(last[8]) * fsize * 0.5
+                        st.text_matrix = tm
             elif g == "TJS":
                 st = self.state
                 tmx = st.text_matrix
@@ -406,6 +472,24 @@ class ContentParser:
     def _merge_adjacent_spans(self) -> list[TextSpan]:
         if not self.spans:
             return []
+
+        # Fast path: when every consecutive pair is separated in y by
+        # more than the 0.3 x font-size tolerance, the comparator
+        # orders the list exactly as-is (one ascending run → timsort
+        # is the identity) and the merge loop's same-line test (the
+        # SAME |Δy| > 0.3 * prev.font_size quantity) can never fire —
+        # so sort + merge are both no-ops.  This is the shape every
+        # line-per-span page has.
+        spans = self.spans
+        clean = True
+        prev = spans[0]
+        for s in spans[1:]:
+            if prev.y - s.y <= prev.font_size * 0.3:
+                clean = False
+                break
+            prev = s
+        if clean:
+            return spans
 
         import functools
 
