@@ -107,7 +107,7 @@ _TJ_ITEM_RE = _re.compile(rb"(" + _PSTR + rb")|(" + _N + rb")")
 # values ever reach the graphics state.  Comments between items make
 # the item regex fail → the generic loop resumes, so semantics are
 # byte-identical by construction.
-_LINE_ITEM_RE = _re.compile(
+_LINE_ITEM_PAT = (
     _W
     + rb"/(" + _NAME_B + rb")" + _W1 + rb"(" + _N + rb")"
     + _W + rb"Tf" + _G + _W
@@ -117,6 +117,12 @@ _LINE_ITEM_RE = _re.compile(
     + _W + rb"Tm" + _G + _W
     + rb"\(([^()\\]*)\)" + _W + rb"Tj" + _G
 )
+_LINE_ITEM_RE = _re.compile(_LINE_ITEM_PAT)
+
+# bytes whose default decode is NOT the identity (everything outside
+# printable ASCII and >= 0xA0 maps to ' ', _DEFAULT_TABLE below); when
+# absent, plain latin-1 decode replaces the ~4x-slower dict translate
+_DEFAULT_NONID_RE = _re.compile(rb"[\x00-\x1f\x7f-\x9f]")
 
 _TOK_RE = _re.compile(
     _WS_PREFIX
@@ -253,6 +259,7 @@ class ContentParser:
         data = self.data
         tok, arr_tok = _TOK_RE.match, _ARR_TOK_RE.match
         _line_item = _LINE_ITEM_RE.match
+        _nonid = _DEFAULT_NONID_RE.search
         execute = self._execute
         spans_append = self.spans.append
         enc_get = self.font_encodings.get
@@ -284,11 +291,12 @@ class ContentParser:
                 lm = [float(ba), float(bb), float(bc), float(bd), e, f_]
                 st.line_matrix = lm
                 enc = enc_get(fname)
-                text = (
-                    enc.decode_bytes(raw)
-                    if enc is not None
-                    else raw.decode("latin-1").translate(_DEFAULT_TABLE)
-                )
+                if enc is not None:
+                    text = enc.decode_bytes(raw)
+                elif _nonid(raw) is None:
+                    text = raw.decode("latin-1")
+                else:
+                    text = raw.decode("latin-1").translate(_DEFAULT_TABLE)
                 trimmed = text.strip(RUST_WS)
                 if trimmed:
                     spans_append(TextSpan(trimmed, e, f_, fsize, fname))
@@ -300,9 +308,11 @@ class ContentParser:
                 if operands:
                     operands.clear()
                 # batch-consume a following run of LINE tokens (see
-                # _LINE_ITEM_RE): per-item work is only decode + span
-                # emit; matrix state is reconstructed from the last
-                # item alone
+                # _LINE_ITEM_RE): per-item work is only one simple
+                # C-level match + decode + span emit (measured faster
+                # than a (?:item)+ run match with findall — repeated
+                # group capture makes the run pass ~2x the loop);
+                # matrix state is reconstructed from the last item
                 item = _line_item(data, pos)
                 if item is not None:
                     fname_of: dict[bytes, str] = {bn: fname}
@@ -320,11 +330,12 @@ class ContentParser:
                         e = float(gs[6])
                         f_ = float(gs[7])
                         enc = enc_get(fname)
-                        text = (
-                            enc.decode_bytes(raw)
-                            if enc is not None
-                            else raw.decode("latin-1").translate(_DEFAULT_TABLE)
-                        )
+                        if enc is not None:
+                            text = enc.decode_bytes(raw)
+                        elif _nonid(raw) is None:
+                            text = raw.decode("latin-1")
+                        else:
+                            text = raw.decode("latin-1").translate(_DEFAULT_TABLE)
                         trimmed = text.strip(RUST_WS)
                         if trimmed:
                             spans_append(TextSpan(trimmed, e, f_, fsize, fname))
@@ -350,11 +361,12 @@ class ContentParser:
                 raw = m.group("tj_t")
                 fname = st.font_name
                 enc = enc_get(fname) if fname is not None else None
-                text = (
-                    enc.decode_bytes(raw)
-                    if enc is not None
-                    else raw.decode("latin-1").translate(_DEFAULT_TABLE)
-                )
+                if enc is not None:
+                    text = enc.decode_bytes(raw)
+                elif _nonid(raw) is None:
+                    text = raw.decode("latin-1")
+                else:
+                    text = raw.decode("latin-1").translate(_DEFAULT_TABLE)
                 trimmed = text.strip(RUST_WS)
                 if trimmed:
                     spans_append(
