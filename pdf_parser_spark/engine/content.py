@@ -496,7 +496,11 @@ class ContentParser:
         clean = True
         prev = spans[0]
         for s in spans[1:]:
-            if prev.y - s.y <= prev.font_size * 0.3:
+            # NaN-safe: the separation test must be the POSITIVE
+            # condition (inf-y spans make the difference NaN, and a
+            # NaN comparison is always False — phrased as `<= tol:
+            # break` that would skip the real sort)
+            if not (prev.y - s.y > prev.font_size * 0.3):
                 clean = False
                 break
             prev = s

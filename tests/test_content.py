@@ -132,3 +132,73 @@ def test_adversarial_content_streams_parse_in_linear_time():
         t0 = time.perf_counter()
         ContentParser(c).parse()
         assert time.perf_counter() - t0 < 5.0, i
+
+
+# -- LINE-run batch + merge fast-path pins ----------------------------------
+
+
+def test_line_run_batch_matches_generic_semantics():
+    # a run of fused Tf/Tm/Tj lines must produce identical spans and
+    # identical final state whether batched or stepped (a comment
+    # between items forces the generic path for the tail)
+    body = b" ".join(
+        b"/F1 12 Tf 1 0 0 1 72 %d Tm (line %d) Tj" % (700 - 16 * i, i)
+        for i in range(5)
+    )
+    batched = ContentParser(b"BT " + body + b" ET").parse()
+    stepped = ContentParser(
+        b"BT " + body.replace(b" /F1", b" % c\n/F1") + b" ET"
+    ).parse()
+    assert [(s.text, s.x, s.y, s.font_size, s.font_name) for s in batched] == [
+        (s.text, s.x, s.y, s.font_size, s.font_name) for s in stepped
+    ]
+
+
+def test_line_run_final_state_feeds_following_operators():
+    # state after a batched run must come from the LAST item: the
+    # bare Tj afterwards emits at the advanced x of the last line
+    # and the whole stream must equal the generic (comment-broken,
+    # unbatchable) parse — including the T* leading and matrix a-d
+    # values only the last run item should have set
+    body = (
+        b"/F1 10 Tf 1 0 0 1 50 700 Tm (aa) Tj"
+        b" /F2 20 Tf 2 0 0 2 60 600 Tm (bbb) Tj (tail) Tj T* (next) Tj"
+    )
+    batched = ContentParser(b"BT " + body + b" ET").parse()
+    stepped = ContentParser(
+        b"BT " + body.replace(b" /F2", b" % c\n/F2") + b" ET"
+    ).parse()
+    assert [(s.text, s.x, s.y, s.font_size, s.font_name) for s in batched] == [
+        (s.text, s.x, s.y, s.font_size, s.font_name) for s in stepped
+    ]
+    # the tail Tj landed at the advanced x of the LAST run item and
+    # T* reused its line matrix — both merge back onto that line
+    assert [s.text for s in batched] == ["aa", "bbb nexttail"]
+
+
+def test_merge_fast_path_is_nan_safe():
+    # 400-digit coordinates parse to +inf (same as the reference's f64
+    # parse); inf - inf is NaN, which must NOT be treated as "already
+    # line-separated" — the comparator then orders same-line spans by
+    # x ascending, so the out-of-x-order input must come back sorted
+    big = b"9" * 400
+    spans = ContentParser(
+        b"BT /F1 12 Tf 1 0 0 1 500 " + big + b" Tm (right) Tj"
+        b" /F1 12 Tf 1 0 0 1 10 " + big + b" Tm (left) Tj ET"
+    ).parse()
+    assert [s.text for s in spans] == ["left right"] or [
+        s.text for s in spans
+    ] == ["left", "right"]
+    # whatever the merge outcome, x-order must have been applied
+    assert spans[0].x == 10.0
+
+
+def test_merge_fast_path_boundary_exact_tolerance():
+    # a y-gap EXACTLY equal to 0.3 x font_size is same-line for the
+    # comparator (|dy| > tol is false) — must take the slow path and
+    # merge/sort by x
+    spans = ContentParser(
+        b"BT /F1 10 Tf 1 0 0 1 300 100 Tm (b) Tj"
+        b" /F1 10 Tf 1 0 0 1 10 97 Tm (a) Tj ET"
+    ).parse()
+    assert spans[0].x == 10.0
