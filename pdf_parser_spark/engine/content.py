@@ -507,22 +507,62 @@ class ContentParser:
         if clean:
             return spans
 
-        import functools
-
-        def cmp(a: TextSpan, b: TextSpan) -> int:
+        def is_less(a: TextSpan, b: TextSpan) -> bool:
             # Same tolerance-based comparator as the reference
             # (content/parser.rs:144-152): y descending unless within
-            # 0.3 * a.font_size, then x ascending.
+            # 0.3 * a.font_size, then x ascending.  The tolerance arm
+            # makes it NON-transitive when y values chain across the
+            # 0.3*fs boundary (y=740/744/747.8 at fs=14: 740~744,
+            # 744~747.8, but 740<747.8), so the final order is defined
+            # by the reference's sort ALGORITHM, not the comparator.
             y_diff = b.y - a.y
             if abs(y_diff) > a.font_size * 0.3:
-                return 1 if y_diff > 0.0 else (-1 if y_diff < 0.0 else 0)
-            if a.x < b.x:
-                return -1
-            if a.x > b.x:
-                return 1
-            return 0
+                return y_diff < 0.0
+            return a.x < b.x
 
-        sorted_spans = sorted(self.spans, key=functools.cmp_to_key(cmp))
+        # Rust's stable slice sort (rustc 1.95, driftsort era) sorts a
+        # TextSpan slice of len <= 20 by plain left-to-right linear
+        # insertion sort — verified empirically against the same
+        # toolchain over ~800 adversarial tolerance-straddling cases,
+        # lengths 2-20, zero mismatches (Python's timsort
+        # binary-insertion diverges from n=6 up).  At len >= 21 Rust
+        # enters driftsort's quicksort/smallsort machinery, which
+        # PANICS on detected total-order violations (smallsort.rs:860
+        # "user-provided comparison function does not correctly
+        # implement a total order" — i.e. the reference CLI *crashes*
+        # on pages whose span y-values chain across the tolerance
+        # boundary); whenever the comparator IS a strict weak order,
+        # every stable sort produces the identical unique order, so
+        # timsort matches wherever the reference survives at all.  We
+        # deliberately do NOT reproduce the crash: such documents
+        # extract deterministically here (tests/test_reference_fuzz.py
+        # pins both halves of this contract).  Real emission order is
+        # nearly sorted, making insertion O(n + inversions) — cheaper
+        # than cmp_to_key timsort at these lengths anyway.
+        if len(spans) <= 20:
+            sorted_spans = list(spans)
+            for i in range(1, len(sorted_spans)):
+                j = i
+                while j > 0 and is_less(sorted_spans[j], sorted_spans[j - 1]):
+                    sorted_spans[j], sorted_spans[j - 1] = (
+                        sorted_spans[j - 1],
+                        sorted_spans[j],
+                    )
+                    j -= 1
+        else:
+            import functools
+
+            def cmp(a: TextSpan, b: TextSpan) -> int:
+                y_diff = b.y - a.y
+                if abs(y_diff) > a.font_size * 0.3:
+                    return 1 if y_diff > 0.0 else (-1 if y_diff < 0.0 else 0)
+                if a.x < b.x:
+                    return -1
+                if a.x > b.x:
+                    return 1
+                return 0
+
+            sorted_spans = sorted(spans, key=functools.cmp_to_key(cmp))
 
         merged: list[TextSpan] = []
         last_raw_x = 0.0

@@ -465,3 +465,186 @@ def test_fuzz_byte_identity(ref_bin):
             sys.stderr.write(data.hex()[:4000] + "\n")
             break
     assert not diffs, diffs[:5]
+
+
+# -- line-run fast-path fuzz -------------------------------------------------
+#
+# The content interpreter batches runs of the fused
+# `/Name size Tf a b c d e f Tm (text) Tj` sequence and skips the
+# span-merge pass when lines are y-separated beyond tolerance
+# (engine/content.py).  This class generates exactly that shape with
+# adversarial perturbations — comments/extra ops breaking runs,
+# same-line and exact-boundary y values, escape-bearing and
+# control-byte strings (forcing the non-identity default decode),
+# huge-digit coordinates (inf), stale operands before Tm — and
+# asserts byte-identity vs the reference CLI in all six formats.
+
+
+def _line_run_content(rng: random.Random, fonts: list[bytes]) -> bytes:
+    # Span budget: at most 20 text-showing ops per page.  rustc 1.95's
+    # stable sort runs plain insertion sort for slices of len <= 20
+    # (never detecting comparator inconsistency) and our engine
+    # replicates that exactly (engine/content.py), so <= 20 spans is
+    # the regime where byte-identity is *provable* even for the
+    # tolerance-chained y layouts this class generates.  At >= 21
+    # spans the reference itself PANICS on such layouts
+    # (test_reference_panics_on_tolerance_chain below pins that).
+    spans_left = 20
+    ops: list[bytes] = [b"BT"]
+    y = 760.0
+    fs = rng.choice([10, 12, 14])
+    for _ in range(rng.randint(3, 25)):
+        if spans_left <= 0:
+            break
+        c = rng.random()
+        # text payload: mostly clean (identity decode), sometimes
+        # escapes / control bytes / high bytes / whitespace-only
+        t = rng.random()
+        if t < 0.6:
+            s = b"(line %d words)" % rng.randint(0, 999)
+        elif t < 0.75:
+            s = _literal_string(rng)
+        elif t < 0.85:
+            s = b"(ctl \x01\x02 high \xc3\xa9)"
+        else:
+            s = b"(   )"
+        if c < 0.55:
+            # canonical fused line; y step varies: clean separation,
+            # exact 0.3*fs boundary, same line, tiny step, or upward
+            step = rng.choice([16.0, fs * 0.3, 0.0, 0.1, -12.0])
+            y -= step
+            spans_left -= 1
+            ops.append(b"/%s %d Tf 1 0 0 1 %s %s Tm %s Tj"
+                       % (rng.choice(fonts), fs,
+                          _fmt_num(rng) if rng.random() < 0.1 else b"%.1f" % (40 + rng.random() * 400),
+                          b"%.1f" % y, s))
+        elif c < 0.65:
+            # run breaker: comment between items
+            ops.append(b"% break\n")
+        elif c < 0.72:
+            # huge-digit coordinate -> f64 inf on both sides
+            spans_left -= 1
+            ops.append(b"/%s %d Tf 1 0 0 1 %d %s Tm %s Tj"
+                       % (rng.choice(fonts), fs, rng.randint(10, 500),
+                          b"9" * rng.randint(200, 400), s))
+        elif c < 0.80:
+            # stale operands before the fused sequence
+            spans_left -= 1
+            ops.append(b"%d %d" % (rng.randint(0, 9), rng.randint(0, 9)))
+            ops.append(b"/%s %d Tf 1 0 0 1 50 %s Tm %s Tj"
+                       % (rng.choice(fonts), fs, b"%.1f" % y, s))
+        elif c < 0.88:
+            # partial triplet: Tf+Tm without Tj, or bare Tj after
+            ops.append(b"/%s %d Tf %s Tm"
+                       % (rng.choice(fonts), fs,
+                          b" ".join(_fmt_num(rng) for _ in range(6))))
+            if rng.random() < 0.5:
+                spans_left -= 1
+                ops.append(s + b" Tj")
+        else:
+            # interleaved non-LINE text op keeps state honest
+            op = rng.choice([
+                b"T*", b"%d TL" % rng.randint(2, 30),
+                s + b" '", b"8 2 %s \"" % s,
+                b"0 -14 Td",
+            ])
+            if op.endswith((b"'", b'\"')):
+                spans_left -= 1
+            ops.append(op)
+    ops.append(b"ET")
+    return b" ".join(ops)
+
+
+def gen_line_run_pdf(rng: random.Random) -> bytes:
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica%s >>"
+          % rng.choice(ENCODINGS))
+    b.add(6, b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier%s >>"
+          % rng.choice(ENCODINGS))
+    res = b"/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >>"
+    content = _line_run_content(rng, [b"F1", b"F2"])
+    if rng.random() < 0.4:
+        payload, filters = zlib.compress(content), b"/FlateDecode"
+    else:
+        payload, filters = content, None
+    b.add(10, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Contents 30 0 R %s >>" % res)
+    b.add_stream(30, b"", payload, filters)
+    return b.build()
+
+
+def test_fuzz_line_runs_byte_identity(ref_bin):
+    rng = random.Random(SEED + 2)
+    for doc_i in range(120):
+        data = gen_line_run_pdf(rng)
+        diffs = _run_diff(ref_bin, data, f"linerun-{doc_i}")
+        if diffs:
+            sys.stderr.write(f"repro: seed={SEED + 2} doc={doc_i}\n")
+            sys.stderr.write(data.hex()[:4000] + "\n")
+        assert not diffs, diffs[:5]
+
+
+def test_reference_panics_on_tolerance_chain(ref_bin):
+    """Pin the two halves of the >20-span contract.
+
+    The reference's pre-merge span sort (content/parser.rs:144-152)
+    compares y with a +/-0.3*font_size tolerance, which is not
+    transitive when y values chain across the boundary.  rustc 1.95's
+    stable sort runs plain insertion sort up to len 20 (no violation
+    detection possible), but from len 21 its driftsort quick/smallsort
+    paths detect the inconsistency and PANIC, killing the CLI
+    (smallsort.rs:860).  We deliberately do not reproduce that crash:
+    a 10^12-document job must not abort on one pathological layout.
+    This test pins (a) the reference really does die on such a page,
+    and (b) our engine extracts it deterministically.
+    """
+    # 34 spans whose y values chain across the 3.6-pt tolerance at
+    # fs=12 (comparator cycles).  Driftsort's violation detection is
+    # opportunistic — monotone staircases survive — so this exact
+    # layout was found by driving rustc 1.95's slice sort directly
+    # over candidate span sets and keeping one that panics.
+    coords = [
+        (50.0, 759.9), (100.0, 759.9), (100.0, 759.8), (100.0, 756.08),
+        (100.0, 755.98), (200.0, 752.26), (425.7, 750.46), (50.0, 746.86),
+        (200.0, 746.76), (100.0, 746.76), (-873.0, 743.04), (425.7, 735.84),
+        (-873.0, 735.84), (-873.0, 732.12), (425.7, 740.12), (100.0, 732.92),
+        (100.0, 725.72), (200.0, 725.72), (100.0, 733.72), (425.7, 730.12),
+        (-873.0, 714.12), (425.7, 712.32), (425.7, 705.12), (425.7, 703.32),
+        (200.0, 711.32), (50.0, 711.32), (100.0, 704.12), (-873.0, 702.32),
+        (50.0, 702.32), (200.0, 710.32), (200.0, 718.32), (100.0, 711.12),
+        (200.0, 719.12), (425.7, 719.02),
+    ]
+    fs = 12
+    ops = [b"BT"]
+    for i, (x, y) in enumerate(coords):
+        ops.append(b"/F1 %d Tf 1 0 0 1 %s %s Tm (s%d) Tj"
+                   % (fs, repr(x).encode(), repr(y).encode(), i))
+    ops.append(b"ET")
+    content = b" ".join(ops)
+
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(10, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Contents 30 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.add_stream(30, b"", content, None)
+    data = b.build()
+
+    with tempfile.NamedTemporaryFile(suffix=".pdf", delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        r = subprocess.run([ref_bin, path, "--txt"], capture_output=True,
+                           timeout=60)
+    finally:
+        os.unlink(path)
+    assert r.returncode != 0
+    assert b"does not correctly implement a total order" in r.stderr
+
+    one = {fmt: fn(data) for fmt, fn in FN.items()}
+    two = {fmt: fn(data) for fmt, fn in FN.items()}
+    assert one == two
+    assert "s0" in one["txt"]
