@@ -46,6 +46,7 @@ BENCH_OPS = [
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
+    "text_repetition",
     "multimodal_features",
     "contamination_ngram",
     "domain_stats",

@@ -235,9 +235,111 @@ FROM sh
 """
 
 
+def _make_repetition_udf():
+    @pandas_udf(
+        "struct<n_2grams: int, top_2gram_count: int, "
+        "n_5grams: int, n_distinct_5grams: int>"
+    )
+    def repetition(text: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        n2, top2, n5, d5 = [], [], [], []
+        for t in text:
+            toks = [x for x in t.split(" ") if x]
+            g2 = [
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            ]
+            n2.append(len(g2))
+            top2.append(max(Counter(g2).values()) if g2 else 0)
+            g5 = [
+                " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+            ]
+            n5.append(len(g5))
+            d5.append(len(set(g5)))
+        return pd.DataFrame(
+            {
+                "n_2grams": n2,
+                "top_2gram_count": top2,
+                "n_5grams": n5,
+                "n_distinct_5grams": d5,
+            }
+        )
+
+    return repetition
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher corpus-filter
+    family, Rae et al. 2021 §A1.1): fraction of word-2-grams taken by
+    the single most frequent 2-gram, and fraction of word-5-grams that
+    are repeats of an earlier 5-gram.  High values flag the
+    boilerplate / keyword-stuffing documents a training pipeline
+    drops.
+
+    Scale design: the n-gram counting is per-document state, so it
+    runs in one Arrow-vectorized UDF over a narrow scan — zero
+    shuffle, parquet-scan speed at 100 TB (per-doc gram counting via
+    explode + groupBy(doc_id, gram) would shuffle the entire token
+    stream for no cross-document information).  The UDF returns exact
+    integer counts; fractions and rounding happen engine-side so the
+    DuckDB oracle is value-identical by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rep = _make_repetition_udf()(F.col("text"))
+    n2 = rep.getField("n_2grams")
+    top2 = rep.getField("top_2gram_count")
+    n5 = rep.getField("n_5grams")
+    d5 = rep.getField("n_distinct_5grams")
+    return docs.select(
+        "doc_id",
+        n2.alias("n_2grams"),
+        top2.alias("top_2gram_count"),
+        F.when(n2 > 0, roundn(top2.cast("double") / n2, 4)).alias(
+            "top_2gram_frac"
+        ),
+        F.when(
+            n5 > 0, roundn(1.0 - d5.cast("double") / n5, 4)
+        ).alias("dup_5gram_frac"),
+    )
+
+
+def _repetition_sql() -> str:
+    g2 = "[t[i] || ' ' || t[i + 1] for i in generate_series(1, len(t) - 1)]"
+    g5 = (
+        "[t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]"
+        " || ' ' || t[i + 4] for i in generate_series(1, len(t) - 4)]"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql("text")} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, {g2} AS g2, {g5} AS g5 FROM tok
+),
+c2 AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(g2) AS g FROM grams)
+  GROUP BY doc_id, g
+),
+top AS (
+  SELECT doc_id, max(c) AS topc FROM c2 GROUP BY doc_id
+)
+SELECT grams.doc_id,
+       len(g2)::INT AS n_2grams,
+       coalesce(topc, 0)::INT AS top_2gram_count,
+       CASE WHEN len(g2) > 0
+            THEN {roundn_sql("topc::DOUBLE / len(g2)", 4)} END AS top_2gram_frac,
+       CASE WHEN len(g5) > 0
+            THEN {roundn_sql("1.0 - len(list_distinct(g5))::DOUBLE / len(g5)", 4)}
+       END AS dup_5gram_frac
+FROM grams LEFT JOIN top ON grams.doc_id = top.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_SCORE_SQL),
     "text_lang_id": (text_lang_id, _lang_id_sql()),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "text_repetition": (text_repetition, _repetition_sql()),
 }
