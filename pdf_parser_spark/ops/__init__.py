@@ -23,9 +23,10 @@ def all_queries():
         pipeline,
         similarity,
         textstats,
+        webcorpus,
     )
 
     out = {}
-    for mod in (dedup, similarity, textstats, multimodal, pipeline, curation):
+    for mod in (dedup, similarity, textstats, multimodal, pipeline, curation, webcorpus):
         out.update(mod.QUERIES)
     return out
