@@ -57,6 +57,13 @@ BENCH_OPS = [
     "lineage_by_source",
     "resume_anti_join",
     "skew_buckets",
+    "url_dedup",
+    "line_dedup",
+    "stratified_sample",
+    "sessionize_events",
+    "asof_join_events",
+    "json_field_stats",
+    "pack_sequences",
 ]
 
 

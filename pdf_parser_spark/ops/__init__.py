@@ -22,11 +22,21 @@ def all_queries():
         multimodal,
         pipeline,
         similarity,
+        temporal,
         textstats,
         webcorpus,
     )
 
     out = {}
-    for mod in (dedup, similarity, textstats, multimodal, pipeline, curation, webcorpus):
+    for mod in (
+        dedup,
+        similarity,
+        textstats,
+        multimodal,
+        pipeline,
+        curation,
+        webcorpus,
+        temporal,
+    ):
         out.update(mod.QUERIES)
     return out
