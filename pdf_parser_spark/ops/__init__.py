@@ -17,6 +17,7 @@ Registry contract: every module exposes ``QUERIES: dict[name ->
 
 def all_queries():
     from pdf_parser_spark.ops import (
+        corpusstats,
         curation,
         dedup,
         multimodal,
@@ -37,6 +38,7 @@ def all_queries():
         curation,
         webcorpus,
         temporal,
+        corpusstats,
     ):
         out.update(mod.QUERIES)
     return out
