@@ -64,6 +64,9 @@ BENCH_OPS = [
     "asof_join_events",
     "json_field_stats",
     "pack_sequences",
+    "ngram_counts",
+    "tfidf_top_terms",
+    "kmeans_embeddings",
 ]
 
 

@@ -17,6 +17,7 @@ Registry contract: every module exposes ``QUERIES: dict[name ->
 
 def all_queries():
     from pdf_parser_spark.ops import (
+        clustering,
         corpusstats,
         curation,
         dedup,
@@ -39,6 +40,7 @@ def all_queries():
         webcorpus,
         temporal,
         corpusstats,
+        clustering,
     ):
         out.update(mod.QUERIES)
     return out
