@@ -67,6 +67,8 @@ BENCH_OPS = [
     "ngram_counts",
     "tfidf_top_terms",
     "kmeans_embeddings",
+    "chunk_documents",
+    "corpus_mix",
 ]
 
 

@@ -17,6 +17,7 @@ Registry contract: every module exposes ``QUERIES: dict[name ->
 
 def all_queries():
     from pdf_parser_spark.ops import (
+        assembly,
         clustering,
         corpusstats,
         curation,
@@ -41,6 +42,7 @@ def all_queries():
         temporal,
         corpusstats,
         clustering,
+        assembly,
     ):
         out.update(mod.QUERIES)
     return out
