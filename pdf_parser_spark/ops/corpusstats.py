@@ -45,14 +45,23 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - NGRAM_N),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-        ),
+    # zip of three shifted slices, NOT transform(sequence, element_at):
+    # the lambda spelling re-evaluates the tokenization inside every
+    # element_at (CollapseProject inlines it — the PLANS.md §6 hazard),
+    # measured ~6x slower at sf0.1; slices evaluate it 3x per row total
+    win = n - (NGRAM_N - 1)
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, win).alias("t0"),
+        F.slice(toks, 2, win).alias("t1"),
+        F.slice(toks, 3, win).alias("t2"),
     )
-    exploded = docs.filter(n >= NGRAM_N).select(
-        "doc_id", F.explode(grams).alias("gram")
+    exploded = (
+        docs.filter(n >= NGRAM_N)
+        .select("doc_id", F.explode(zipped).alias("z"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "z.t0", "z.t1", "z.t2").alias("gram"),
+        )
     )
     counted = exploded.groupBy("gram").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
