@@ -69,6 +69,7 @@ BENCH_OPS = [
     "kmeans_embeddings",
     "chunk_documents",
     "corpus_mix",
+    "salted_join_stats",
 ]
 
 

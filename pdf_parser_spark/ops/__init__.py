@@ -20,6 +20,7 @@ def all_queries():
         assembly,
         clustering,
         corpusstats,
+        skewjoin,
         curation,
         dedup,
         multimodal,
@@ -43,6 +44,7 @@ def all_queries():
         corpusstats,
         clustering,
         assembly,
+        skewjoin,
     ):
         out.update(mod.QUERIES)
     return out
