@@ -70,6 +70,7 @@ BENCH_OPS = [
     "chunk_documents",
     "corpus_mix",
     "salted_join_stats",
+    "text_normalize",
 ]
 
 

@@ -21,6 +21,7 @@ def all_queries():
         clustering,
         corpusstats,
         skewjoin,
+        normalize,
         curation,
         dedup,
         multimodal,
@@ -45,6 +46,7 @@ def all_queries():
         clustering,
         assembly,
         skewjoin,
+        normalize,
     ):
         out.update(mod.QUERIES)
     return out
