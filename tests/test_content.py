@@ -202,3 +202,24 @@ def test_merge_fast_path_boundary_exact_tolerance():
         b" /F1 10 Tf 1 0 0 1 10 97 Tm (a) Tj ET"
     ).parse()
     assert spans[0].x == 10.0
+
+
+def test_line_run_rejects_class_matched_nonfloats():
+    # the run-item regex's number class over-accepts strings float()
+    # rejects ("1.2.3", "+-8"); such an item must fall back to the
+    # generic loop UNCONSUMED, which then raises the reference's
+    # invalid-number ParseError — identical to the never-batched path
+    import pytest as _pytest
+
+    from pdf_parser_spark.engine.errors import ParseError
+
+    for bad in (b"1.2.3", b"+-8", b"5..4"):
+        body = (
+            b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (head) Tj "
+            b"/F1 12 Tf 1 0 0 1 72 684 Tm (mid) Tj "
+            b"/F1 12 Tf 1 0 0 " + bad + b" 72 668 Tm (tail) Tj ET"
+        )
+        with _pytest.raises(ParseError, match="Invalid number"):
+            ContentParser(body).parse()
+        with _pytest.raises(ParseError, match="Invalid number"):
+            ContentParser(body.replace(b" /F1", b" % c\n/F1")).parse()
