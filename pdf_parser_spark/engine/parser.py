@@ -29,6 +29,34 @@ _GEN_REF_RE = _re.compile(
     rb"R(?![A-Za-z])"
 )
 
+# One C-level probe for a whole ``/Key value`` dictionary entry — the
+# dominant cost of structure parsing (page tree, font dicts, trailer)
+# was one Python-level token round-trip per token.  Fast-pathed value
+# shapes: name, unsigned ``n g R`` reference, a TERMINAL number (the
+# lookahead requires the next token to be another key or the dict
+# close, so an int that is really the start of a reference can never
+# be taken), and an all-numeric array.  Subpatterns (whitespace +
+# comments, name charset incl. the ``(?!#)`` escape guard, int/real
+# split, keyword boundary after R) mirror lexer.py's _LEX_RE exactly;
+# every non-matching entry falls back to the token path with identical
+# semantics, so this is a pure fast path.
+_WSC = rb"(?>(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*[\r\n]?)*)"
+_LEXNAME = rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%#]*"
+_LEXNUM = rb"[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+|[0-9]+(?![0-9.]))"
+_DICT_ENTRY_RE = _re.compile(
+    _WSC
+    + rb"/(?P<k>" + _LEXNAME + rb")(?!#)"
+    + _WSC
+    + rb"(?:"
+    + rb"/(?P<vn>" + _LEXNAME + rb")(?!#)"
+    + rb"|(?P<vo>[0-9]+)(?![0-9.])" + _WSC
+    + rb"(?P<vg>[0-9]+)(?![0-9.])" + _WSC + rb"R(?![A-Za-z])"
+    + rb"|(?P<vnum>" + _LEXNUM + rb")(?=" + _WSC + rb"(?:/|>>))"
+    + rb"|\[(?P<varr>(?:" + _WSC + _LEXNUM + rb")*)" + _WSC + rb"\]"
+    + rb")"
+)
+_NUM_RE = _re.compile(_LEXNUM)
+
 
 class Parser:
     __slots__ = ("lexer", "peeked")
@@ -122,7 +150,40 @@ class Parser:
 
     def _parse_dict_or_stream(self):
         d: dict = {}
+        entry = _DICT_ENTRY_RE.match
+        lexer = self.lexer
         while True:
+            if not self.peeked:
+                m = entry(lexer.data, lexer.pos)
+                if m is not None:
+                    k, vn, vo, vg, vnum, varr = m.group(
+                        "k", "vn", "vo", "vg", "vnum", "varr"
+                    )
+                    try:
+                        key = k.decode("utf-8")
+                        if vn is not None:
+                            value = Name(vn.decode("utf-8"))
+                        elif vo is not None:
+                            value = Ref(
+                                int(vo) & 0xFFFFFFFF, int(vg) & 0xFFFF
+                            )
+                        elif vnum is not None:
+                            value = (
+                                float(vnum)
+                                if b"." in vnum
+                                else int(vnum)
+                            )
+                        else:
+                            value = [
+                                float(t) if b"." in t else int(t)
+                                for t in _NUM_RE.findall(varr)
+                            ]
+                    except UnicodeDecodeError:
+                        pass  # exotic name bytes: token path raises
+                    else:
+                        d[key] = value
+                        lexer.pos = m.end()
+                        continue
             tok = self._next_token()
             if tok is None:
                 raise ParseError(self.position, "Unterminated dictionary")
