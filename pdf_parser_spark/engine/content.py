@@ -274,6 +274,10 @@ class ContentParser:
         tok, arr_tok = _TOK_RE.match, _ARR_TOK_RE.match
         _line_item = _LINE_ITEM_RE.match
         _nonid = _DEFAULT_NONID_RE.search
+        # one C pass over the whole stream: when no non-identity byte
+        # exists anywhere, every show-string decodes as the identity —
+        # skips the per-item search on clean (typical) content
+        clean = _nonid(data) is None
         execute = self._execute
         spans_append = self.spans.append
         enc_get = self.font_encodings.get
@@ -307,7 +311,7 @@ class ContentParser:
                 enc = enc_get(fname)
                 if enc is not None:
                     text = enc.decode_bytes(raw)
-                elif _nonid(raw) is None:
+                elif clean or _nonid(raw) is None:
                     text = raw.decode("latin-1")
                 else:
                     text = raw.decode("latin-1").translate(_DEFAULT_TABLE)
@@ -362,7 +366,7 @@ class ContentParser:
                         enc = enc_get(fname)
                         if enc is not None:
                             text = enc.decode_bytes(raw)
-                        elif _nonid(raw) is None:
+                        elif clean or _nonid(raw) is None:
                             text = raw.decode("latin-1")
                         else:
                             text = raw.decode("latin-1").translate(_DEFAULT_TABLE)
@@ -393,7 +397,7 @@ class ContentParser:
                 enc = enc_get(fname) if fname is not None else None
                 if enc is not None:
                     text = enc.decode_bytes(raw)
-                elif _nonid(raw) is None:
+                elif clean or _nonid(raw) is None:
                     text = raw.decode("latin-1")
                 else:
                     text = raw.decode("latin-1").translate(_DEFAULT_TABLE)
