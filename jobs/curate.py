@@ -1,0 +1,166 @@
+"""Curation job: extracted pages → training-ready corpus, one DAG.
+
+The glue the reference never had: after `jobs/extract.py` lands the
+extracted table, this job runs the standard webtext curation funnel
+over it —
+
+  1. decode-error drop          (row-level errors never poison the mix)
+  2. quality floor              (token count + stopword/alpha ratios,
+                                 pure codegen — ops/textstats semantics)
+  3. exact dedup                (md5 groupBy, keep min url)
+  4. near-dup collapse          (banded MinHash-LSH over h32 shingles,
+                                 keep the band-bucket's min url —
+                                 bucketed, never all-pairs)
+  5. funnel lineage             (per-stage row counts + per-source
+                                 composition, written next to the data)
+
+and writes a training-ready parquet table bucketed-ready on url.
+
+Every stage is a DataFrame transform on one DAG: Spark pipelines the
+narrow stages into the scans, and the only wide ops are the two dedup
+shuffles (md5 keys; band keys).  The funnel report makes the job
+auditable at 100 TB: each stage's survivor count is one groupBy away,
+computed on the SAME cached stage outputs that feed the next stage, so
+audit and data cannot drift.
+
+Run:  spark-submit --py-files dist/engine.zip jobs/curate.py \
+          --input /path/extracted --output /path/curated
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from pdf_parser_spark.ops.common import tokens
+
+MIN_TOKENS = 5          # quality floor: at least this many tokens
+MIN_ALPHA_RATIO = 0.5   # alpha-bearing token fraction floor
+# near-dup stage: shingle width / bands / rows come from ops.dedup
+
+
+def quality_floor(df: DataFrame, text_col: str = "text_extracted") -> DataFrame:
+    """Stage 2: drop rows under the token-count / alpha-ratio floor
+    (pure codegen; same signal family as ops.textstats.quality)."""
+    tok = tokens(F.col(text_col))
+    n = F.size(tok)
+    alpha = F.size(F.filter(tok, lambda t: t.rlike("[A-Za-z]")))
+    return df.withColumn("_n_tok", n).filter(
+        (F.col("_n_tok") >= MIN_TOKENS)
+        & (alpha / F.col("_n_tok") >= MIN_ALPHA_RATIO)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text_extracted") -> DataFrame:
+    """Stage 3: one md5 shuffle; the keeper is the min url per digest
+    (deterministic, resume-stable)."""
+    keyed = df.withColumn("_md5", F.md5(F.col(text_col).cast("binary")))
+    keepers = keyed.groupBy("_md5").agg(F.min("url").alias("_keep_url"))
+    return keyed.join(keepers, "_md5").filter(
+        F.col("url") == F.col("_keep_url")
+    ).drop("_md5", "_keep_url")
+
+
+def neardup_collapse(df: DataFrame, text_col: str = "text_extracted") -> DataFrame:
+    """Stage 4: banded MinHash-LSH collapse, keep min url per bucket.
+
+    Reuses the oracle-verified signature machinery from ops/dedup.py
+    (Arrow numpy UDF — the interpreted-HOF spelling measured ~50x
+    slower there).  Scale shape (PLANS.md §5): only ``(url, band
+    keys)`` ever shuffle — never text; a near-dup group shares at
+    least one band bucket, and the keeper rule (a doc survives only
+    if it is the min url of its bucket in EVERY band) removes one
+    side of every detected pair deterministically.  Docs too short to
+    shingle pass through untouched.
+    """
+    from pdf_parser_spark.ops.dedup import LSH_BANDS, LSH_ROWS, _make_sig_udf
+
+    sig_udf = _make_sig_udf()
+    # persist is load-bearing (CollapseProject would re-run the UDF
+    # per band key and join side — measured ~10x in ops/dedup.py)
+    sig = df.select("url", sig_udf(F.col(text_col)).alias("_sig")).persist()
+    try:
+        banded = sig.filter(F.size("_sig") >= 1)
+        band_cols = [
+            F.concat_ws(
+                ",",
+                *[
+                    F.col("_sig")[b * LSH_ROWS + r].cast("string")
+                    for r in range(LSH_ROWS)
+                ],
+            ).alias(f"_band{b}")
+            for b in range(LSH_BANDS)
+        ]
+        keyed = banded.select("url", *band_cols)
+        keep = None
+        for b in range(LSH_BANDS):
+            kb = keyed.groupBy(f"_band{b}").agg(F.min("url").alias("_ku"))
+            ok = (
+                keyed.select("url", f"_band{b}")
+                .join(kb, f"_band{b}")
+                .filter(F.col("url") == F.col("_ku"))
+                .select("url")
+            )
+            keep = ok if keep is None else keep.intersect(ok)
+        passthrough = sig.filter(F.size("_sig") < 1).select("url")
+        # materialize the (urls-only, small) keep set while sig is
+        # still cached — downstream consumers must never re-trigger
+        # the signature UDF through the band joins
+        keep = keep.unionByName(passthrough).persist()
+        keep.count()
+        return df.join(keep, "url")
+    finally:
+        sig.unpersist()
+
+
+def curate(extracted: DataFrame) -> tuple[DataFrame, list[dict]]:
+    """Run the funnel; returns (curated DF, per-stage lineage rows)."""
+    funnel: list[dict] = []
+
+    def stage(name: str, frame: DataFrame) -> DataFrame:
+        frame = frame.persist()
+        funnel.append({"stage": name, "rows": frame.count()})
+        return frame
+
+    s0 = stage("input", extracted)
+    s1 = stage("decoded", s0.filter(F.col("decode_error").isNull()))
+    s2 = stage("quality", quality_floor(s1))
+    s3 = stage("exact_dedup", exact_dedup(s2))
+    s4 = stage("near_dedup", neardup_collapse(s3))
+    return s4, funnel
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--input", required=True, help="extracted table (parquet dir)")
+    ap.add_argument("--output", required=True, help="curated output dir")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pdf_parser_spark.spark.session import build_session
+
+    spark = build_session("pdf-parser-spark-curate", master=args.master)
+    extracted = spark.read.parquet(args.input)
+    curated, funnel = curate(extracted)
+    curated.drop("_n_tok").write.mode("overwrite").parquet(f"{args.output}/data")
+    comp = [
+        r.asDict()
+        for r in curated.groupBy("doc_type")
+        .agg(F.count(F.lit(1)).alias("rows"), F.sum("_n_tok").alias("tokens"))
+        .collect()
+    ]
+    report = {"funnel": funnel, "composition": comp}
+    with open(f"{args.output}/funnel.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
