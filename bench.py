@@ -71,6 +71,10 @@ BENCH_OPS = [
     "corpus_mix",
     "salted_join_stats",
     "text_normalize",
+    "url_host_filter",
+    "incremental_dedup",
+    "quality_classifier",
+    "doclen_percentiles",
 ]
 
 

@@ -24,6 +24,7 @@ def all_queries():
         normalize,
         curation,
         dedup,
+        filtering,
         multimodal,
         pipeline,
         similarity,
@@ -41,6 +42,7 @@ def all_queries():
         pipeline,
         curation,
         webcorpus,
+        filtering,
         temporal,
         corpusstats,
         clustering,

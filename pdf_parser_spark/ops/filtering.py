@@ -1,0 +1,333 @@
+"""Corpus filtering & admission control: host blocklists, incremental
+(new-batch-vs-corpus) dedup, model-based quality gating, and exact
+length percentiles.
+
+These are the admission-control stages of a crawl pipeline: reject
+documents from blocklisted hosts (including their subdomains), admit a
+new crawl batch only where it does not duplicate the existing corpus,
+gate on a quality classifier score, and publish per-language length
+distribution statistics for monitoring.  All plans are built-in JVM
+functions (WholeStageCodegen, no Python); outputs are integers /
+strings only so the driver's value-hash gate is float-free.
+
+Scale notes per operator explain the 100 TB story; the common theme is
+that nothing here sorts or shuffles document *text* — joins and
+aggregates carry only ids, hashes, hosts, and counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pdf_parser_spark.ops.common import load_table, tokens, tokens_sql
+
+# url_host_filter: doc_id % URL_MOD picks the page path (shared with
+# several docs so hosts repeat); every 7th document is crawled from a
+# subdomain of its source host so the suffix rule is exercised
+URL_MOD = 250
+SUBDOMAIN_MOD = 7
+BLOCKED_SOURCES = ("src1", "src4", "src7")
+
+# incremental_dedup: which documents form the "new" crawl batch
+NEW_BATCH_MOD = 5
+
+# quality_classifier: integer weights and decision threshold
+W_TOKENS, W_TYPE_RATIO, W_MEAN_LEN, QUALITY_BIAS, QUALITY_THRESHOLD = (
+    2, 3, 5, -40, 400
+)
+TOKEN_CAP = 120
+
+# doclen_percentiles: percent points published per language
+PCT_POINTS = (25, 50, 75, 90)
+
+
+# ---------------------------------------------------------------------------
+# url_host_filter — host blocklist with subdomain-suffix semantics
+# ---------------------------------------------------------------------------
+
+def url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering: a document whose host IS a blocked domain
+    or is a SUBDOMAIN of one (news.src1.example.com matches blocked
+    src1.example.com) is rejected; everything else is kept.  Emits one
+    row per document with the verdict and the matched rule so rejects
+    are auditable.
+
+    Scale: suffix matching is rewritten as an equi-join — the narrow
+    scan derives each url's *registered domain* (last three labels),
+    which is the only granularity the blocklist uses, and joins it
+    against the **broadcast** blocklist.  No LIKE-scan per rule, no
+    shuffle of text; the only moved columns are (doc_id, host).  A
+    blocklist of millions of rules would swap the broadcast for a
+    shuffled join still keyed on the registered domain — the plan
+    shape survives.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base_host = F.concat(F.col("source"), F.lit(".example.com"))
+    host = F.when(
+        F.col("doc_id") % SUBDOMAIN_MOD == 0,
+        F.concat(F.lit("news."), base_host),
+    ).otherwise(base_host)
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/page/"),
+        (F.col("doc_id") % URL_MOD).cast("string"),
+    )
+    pages = docs.select(
+        "doc_id",
+        url.alias("url"),
+        host.alias("host"),
+        # registered domain = last three dot-labels of the host
+        F.substring_index(host, ".", -3).alias("reg_domain"),
+    )
+    blocklist = spark.createDataFrame(
+        [(f"{s}.example.com",) for s in BLOCKED_SOURCES], ["blocked_domain"]
+    )
+    joined = pages.join(
+        F.broadcast(blocklist),
+        pages["reg_domain"] == blocklist["blocked_domain"],
+        "left",
+    )
+    return joined.select(
+        "doc_id",
+        "url",
+        "host",
+        F.col("blocked_domain").isNull().alias("kept"),
+        F.coalesce("blocked_domain", F.lit("")).alias("blocked_by"),
+    )
+
+
+URL_HOST_FILTER_SQL = f"""
+WITH pages AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {SUBDOMAIN_MOD} = 0
+              THEN 'news.' || source || '.example.com'
+              ELSE source || '.example.com' END AS host
+  FROM documents
+),
+withdom AS (
+  SELECT doc_id,
+         'https://' || host || '/page/' || (doc_id % {URL_MOD})::VARCHAR AS url,
+         host,
+         array_to_string(string_split(host, '.')[-3:], '.') AS reg_domain
+  FROM pages
+),
+blocklist AS (
+  SELECT unnest({[f"{s}.example.com" for s in BLOCKED_SOURCES]}) AS blocked_domain
+)
+SELECT w.doc_id, w.url, w.host,
+       b.blocked_domain IS NULL AS kept,
+       coalesce(b.blocked_domain, '') AS blocked_by
+FROM withdom w LEFT JOIN blocklist b ON w.reg_domain = b.blocked_domain
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup — admit a new crawl batch against the existing corpus
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-batch) exact dedup: documents with
+    doc_id % {NEW_BATCH_MOD} == 0 form the "new" crawl batch, the rest
+    the existing corpus.  A new document is admitted iff its content
+    hash appears neither in the corpus nor earlier (lower doc_id) in
+    its own batch.  Emits every new-batch document with its verdict.
+
+    Scale: both sides project to (md5, doc_id) BEFORE any shuffle —
+    document text never moves.  The corpus side is an aggregate keyed
+    on md5 (map-side combinable); the batch-internal keeper is a
+    min-by on the same key.  The final membership test is a left
+    anti-style join on the 128-bit hash, which AQE converts to a
+    broadcast when the daily batch is small relative to the corpus —
+    the common production shape (corpus >> batch) broadcasts the
+    *batch* hashes instead by symmetry.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+    new_batch = docs.filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % NEW_BATCH_MOD != 0)
+    corpus_hashes = corpus.groupBy("text_md5").agg(
+        F.count(F.lit(1)).alias("n_corpus")
+    )
+    batch_keeper = new_batch.groupBy(F.col("text_md5").alias("batch_md5")).agg(
+        F.min("doc_id").alias("keeper_id")
+    )
+    out = (
+        new_batch.join(F.broadcast(corpus_hashes), "text_md5", "left")
+        .join(
+            F.broadcast(batch_keeper),
+            new_batch["text_md5"] == batch_keeper["batch_md5"],
+        )
+    )
+    in_corpus = F.col("n_corpus").isNotNull()
+    return out.select(
+        "doc_id",
+        "text_md5",
+        in_corpus.alias("dup_of_corpus"),
+        ((~in_corpus) & (F.col("doc_id") == F.col("keeper_id"))).alias("admitted"),
+    )
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, md5(text) AS text_md5 FROM documents
+),
+new_batch AS (
+  SELECT * FROM hashed WHERE doc_id % {NEW_BATCH_MOD} = 0
+),
+corpus_hashes AS (
+  SELECT text_md5, count(*) AS n_corpus
+  FROM hashed WHERE doc_id % {NEW_BATCH_MOD} <> 0 GROUP BY 1
+),
+batch_keeper AS (
+  SELECT text_md5, min(doc_id) AS keeper_id FROM new_batch GROUP BY 1
+)
+SELECT n.doc_id, n.text_md5,
+       c.text_md5 IS NOT NULL AS dup_of_corpus,
+       (c.text_md5 IS NULL AND n.doc_id = k.keeper_id) AS admitted
+FROM new_batch n
+LEFT JOIN corpus_hashes c ON n.text_md5 = c.text_md5
+JOIN batch_keeper k ON n.text_md5 = k.text_md5
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier — integer-weight linear model gate
+# ---------------------------------------------------------------------------
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: a linear classifier over integer
+    document features — capped token count, type/token ratio (x100),
+    mean token length (x10) — with fixed integer weights, thresholded
+    into a keep/reject verdict.  All arithmetic is integer, so the
+    score is bit-identical on every engine.
+
+    Scale: one narrow pass — every feature comes from the document's
+    own token array inside WholeStageCodegen; no shuffle, no Python.
+    Swapping the hand-set weights for trained ones (the production
+    path) changes only literals in the same plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_types"),
+        F.aggregate(
+            tok, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("n_chars_tok"),
+    ).filter(F.col("n_tokens") > 0)
+    type_ratio = (F.col("n_types") * 100 / F.col("n_tokens")).cast("long")
+    mean_len = (F.col("n_chars_tok") * 10 / F.col("n_tokens")).cast("long")
+    score = (
+        W_TOKENS * F.least(F.col("n_tokens"), F.lit(TOKEN_CAP))
+        + W_TYPE_RATIO * type_ratio
+        + W_MEAN_LEN * mean_len
+        + QUALITY_BIAS
+    )
+    return feats.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        type_ratio.alias("type_ratio_x100"),
+        mean_len.alias("mean_len_x10"),
+        score.alias("quality_score"),
+        (score >= QUALITY_THRESHOLD).alias("kept"),
+    )
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         len(tok) AS n_tokens,
+         len(list_distinct(tok)) AS n_types,
+         list_sum([length(t) for t in tok]) AS n_chars_tok
+  FROM (SELECT doc_id, lang, {tokens_sql('text')} AS tok FROM documents)
+  WHERE len(tok) > 0
+),
+scored AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(floor(n_types * 100 / n_tokens) AS BIGINT) AS type_ratio_x100,
+         CAST(floor(n_chars_tok * 10 / n_tokens) AS BIGINT) AS mean_len_x10
+  FROM feats
+)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+       type_ratio_x100, mean_len_x10,
+       {W_TOKENS} * least(n_tokens, {TOKEN_CAP})
+         + {W_TYPE_RATIO} * type_ratio_x100
+         + {W_MEAN_LEN} * mean_len_x10 + {QUALITY_BIAS} AS quality_score,
+       ({W_TOKENS} * least(n_tokens, {TOKEN_CAP})
+         + {W_TYPE_RATIO} * type_ratio_x100
+         + {W_MEAN_LEN} * mean_len_x10 + {QUALITY_BIAS})
+         >= {QUALITY_THRESHOLD} AS kept
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# doclen_percentiles — exact per-language length percentiles, no global sort
+# ---------------------------------------------------------------------------
+
+def doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language n_chars percentiles (p25/p50/p75/p90, the
+    value at 1-based rank ceil(p/100 * n) of the sorted list) plus the
+    doc count — the monitoring rollup a curation pipeline publishes
+    after each run.
+
+    Scale: the naive spelling (row_number over each language) sorts
+    the whole corpus.  Instead phase 1 aggregates to (lang, n_chars)
+    frequencies — map-side combinable, output size bounded by the
+    number of DISTINCT lengths per language, not the corpus.  Phase 2
+    takes cumulative counts over those tiny per-lang frequency rows
+    and picks each percentile's bracketing value.  The only
+    corpus-sized operation is the combinable group-by; the window
+    runs over distinct values only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    freq = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    cum = freq.select(
+        "lang",
+        "n_chars",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("n_docs"),
+    )
+    aggs = [F.max("n_docs").alias("n_docs")]
+    for p in PCT_POINTS:
+        rank = F.ceil(F.col("n_docs") * p / 100)
+        hit = (F.col("cum_before") < rank) & (rank <= F.col("cum"))
+        aggs.append(F.max(F.when(hit, F.col("n_chars"))).alias(f"p{p}"))
+    return cum.groupBy("lang").agg(*aggs)
+
+
+_PCT_COLS_SQL = ",\n       ".join(
+    f"max(CASE WHEN cum_before < ceil(n_docs * {p} / 100.0)"
+    f" AND ceil(n_docs * {p} / 100.0) <= cum THEN n_chars END) AS p{p}"
+    for p in PCT_POINTS
+)
+
+DOCLEN_PERCENTILES_SQL = f"""
+WITH freq AS (
+  SELECT lang, n_chars, count(*) AS cnt FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, n_chars,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) - cnt AS cum_before,
+         sum(cnt) OVER (PARTITION BY lang) AS n_docs
+  FROM freq
+)
+SELECT lang, max(n_docs) AS n_docs,
+       {_PCT_COLS_SQL}
+FROM cum
+GROUP BY lang
+"""
+
+
+QUERIES = {
+    "url_host_filter": (url_host_filter, URL_HOST_FILTER_SQL),
+    "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
+    "quality_classifier": (quality_classifier, QUALITY_CLASSIFIER_SQL),
+    "doclen_percentiles": (doclen_percentiles, DOCLEN_PERCENTILES_SQL),
+}

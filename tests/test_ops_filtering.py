@@ -1,0 +1,108 @@
+"""Semantic invariants for the admission-control operators
+(ops/filtering.py) — beyond the value-exact parity gate, pin the
+properties that make each operator *correct as a curation stage*."""
+
+import os
+import sys
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pdf_parser_spark.ops import filtering  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pdf_parser_spark.spark.session import build_session
+
+    s = build_session("ops-filtering-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+def test_url_host_filter_blocks_subdomains(spark):
+    rows = filtering.url_host_filter(spark, SF_DIR).collect()
+    by_id = {r.doc_id: r for r in rows}
+    blocked_hosts = {f"{s}.example.com" for s in filtering.BLOCKED_SOURCES}
+    saw_subdomain_block = False
+    for r in rows:
+        base = r.host.removeprefix("news.")
+        if base in blocked_hosts:
+            assert not r.kept and r.blocked_by == base
+            if r.host.startswith("news."):
+                saw_subdomain_block = True
+        else:
+            assert r.kept and r.blocked_by == ""
+    # the suffix rule must actually have been exercised
+    assert saw_subdomain_block
+    assert len(by_id) == len(rows)  # one verdict per document
+
+
+def test_incremental_dedup_admits_each_hash_once(spark):
+    rows = filtering.incremental_dedup(spark, SF_DIR).collect()
+    admitted = [r for r in rows if r.admitted]
+    # an admitted doc is never a corpus dup, and each admitted hash is
+    # unique (the batch-internal keeper collapses within-batch dups)
+    assert all(not r.dup_of_corpus for r in admitted)
+    hashes = [r.text_md5 for r in admitted]
+    assert len(hashes) == len(set(hashes))
+    # every non-corpus-dup hash admits exactly its min-doc_id row
+    import collections
+
+    per_hash = collections.defaultdict(list)
+    for r in rows:
+        if not r.dup_of_corpus:
+            per_hash[r.text_md5].append(r)
+    for group in per_hash.values():
+        keeper = min(g.doc_id for g in group)
+        for g in group:
+            assert g.admitted == (g.doc_id == keeper)
+
+
+def test_quality_classifier_score_matches_features(spark):
+    rows = filtering.quality_classifier(spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:50]:
+        score = (
+            filtering.W_TOKENS * min(r.n_tokens, filtering.TOKEN_CAP)
+            + filtering.W_TYPE_RATIO * r.type_ratio_x100
+            + filtering.W_MEAN_LEN * r.mean_len_x10
+            + filtering.QUALITY_BIAS
+        )
+        assert r.quality_score == score
+        assert r.kept == (score >= filtering.QUALITY_THRESHOLD)
+    # the gate must actually split the corpus (not all-keep/all-drop)
+    kept = sum(1 for r in rows if r.kept)
+    assert 0 < kept < len(rows)
+
+
+def test_doclen_percentiles_match_bruteforce(spark):
+    import duckdb
+
+    rows = {r.lang: r for r in filtering.doclen_percentiles(spark, SF_DIR).collect()}
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT lang, n_chars FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    import collections
+    import math
+
+    per_lang = collections.defaultdict(list)
+    for lang, n in docs:
+        per_lang[lang].append(n)
+    for lang, vals in per_lang.items():
+        vals.sort()
+        r = rows[lang]
+        assert r.n_docs == len(vals)
+        for p in filtering.PCT_POINTS:
+            rank = math.ceil(len(vals) * p / 100)  # 1-based
+            assert getattr(r, f"p{p}") == vals[rank - 1], (lang, p)
