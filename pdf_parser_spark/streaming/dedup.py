@@ -1,0 +1,145 @@
+"""Streaming cross-batch exact dedup (`applyInPandasWithState`).
+
+The batch twins are :func:`pdf_parser_spark.ops.dedup.dedup_exact`
+(whole-corpus collapse) and
+:func:`pdf_parser_spark.ops.filtering.incremental_dedup` (one new
+batch vs a frozen corpus).  This module is the *continuous* version:
+as page files land, a document is admitted iff its content hash has
+never been seen in ANY earlier micro-batch — the state store carries
+the seen-hash set across batches, so no batch ever re-scans corpus
+history.
+
+Design:
+
+* **Keyed state on the 128-bit content hash** — ``groupBy(md5(html))``
+  routes every copy of a payload to one task; state per key is just
+  the admitted keeper's url (first-arrival wins; within a batch the
+  min url, deterministic).  Lookup/update is O(1) per key in the
+  state store vs the foreachBatch-era alternative of re-joining an
+  ever-growing hash table every batch.
+* **State growth is the honest cost**: distinct-hash state grows with
+  the corpus.  At 10^12 documents this wants the RocksDB state store
+  (spills to disk, incremental checkpoints), optionally fronted by a
+  bloom filter on the batch side to skip state lookups for
+  definitely-new hashes; the logical plan here is unchanged by either.
+* **Update-mode emission with per-row verdicts** — every input row is
+  emitted with ``admitted`` true/false plus the keeper url, so
+  downstream lineage can count rejects per batch without a second
+  pass.
+* **Idempotent sink** — each micro-batch overwrites its own
+  ``batch_id=N`` partition (the :mod:`streaming.job` pattern); the
+  state store itself commits transactionally with the checkpoint, so
+  a replayed batch recomputes identical verdicts.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pdf_parser_spark.streaming.job import PAGES_STREAM_SCHEMA
+
+DEDUP_STATE_SCHEMA = StructType([StructField("keeper_url", StringType())])
+
+DEDUP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("content_md5", StringType()),
+        StructField("admitted", BooleanType()),
+        StructField("keeper_url", StringType()),
+    ]
+)
+
+
+def _dedup_group(key, pdf_iter, state: GroupState):
+    """All rows sharing one content hash, this batch: admit the min
+    url iff the hash is unseen; everything else is a reject pointing
+    at the keeper."""
+    (content_md5,) = key
+    frames = [pdf for pdf in pdf_iter]
+    if not frames:
+        return
+    batch = pd.concat(frames, ignore_index=True)
+    urls = sorted(batch["url"].tolist())
+    if state.exists:
+        (keeper,) = state.get
+        admitted_url = None
+    else:
+        keeper = urls[0]
+        admitted_url = keeper
+        state.update((keeper,))
+    out = [
+        (u, content_md5, u == admitted_url, keeper)
+        for u in urls
+    ]
+    yield pd.DataFrame(
+        out, columns=["url", "content_md5", "admitted", "keeper_url"]
+    )
+
+
+def _committed(spark: SparkSession, directory: str) -> bool:
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{directory}/_SUCCESS")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(path))
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    schema: StructType = PAGES_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+):
+    """Drain all unprocessed page files through the stateful dedup;
+    per-batch verdict rows land under
+    ``{output_path}/verdicts/batch_id=N``.  Blocks until drained."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(input_path)
+
+    verdicts = (
+        pages.select("url", F.md5("html").alias("content_md5"))
+        .groupBy("content_md5")
+        .applyInPandasWithState(
+            _dedup_group,
+            outputStructType=DEDUP_OUTPUT_SCHEMA,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out_dir = f"{output_path}/verdicts/batch_id={batch_id}"
+        if _committed(batch_df.sparkSession, out_dir):
+            return
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    query = (
+        verdicts.writeStream.foreachBatch(process_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def admitted_pages(spark: SparkSession, output_path: str) -> DataFrame:
+    """The admitted set across all drained batches."""
+    rows = spark.read.parquet(f"{output_path}/verdicts")
+    return rows.filter(F.col("admitted")).select(
+        "url", "content_md5", "batch_id"
+    )
