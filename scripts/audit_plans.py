@@ -91,6 +91,44 @@ def main() -> None:
     p = plan_of(corpus_select(spark, "/root/testdata/sf0.001"))
     checks.append(("corpus-select-broadcast-bench", "BroadcastHashJoin" in p))
 
+    # 4g. admission-control ops (ops/filtering.py)
+    from pdf_parser_spark.ops.filtering import (
+        doclen_percentiles,
+        incremental_dedup,
+        quality_classifier,
+        url_host_filter,
+    )
+
+    # blocklist suffix semantics rewritten as a broadcast equi-join —
+    # never a per-rule LIKE scan / nested loop
+    p = plan_of(url_host_filter(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("hostfilter-broadcast-equijoin",
+         "BroadcastHashJoin" in p and "NestedLoop" not in p)
+    )
+
+    # both join sides reduced to (md5, id) before any join; joins are
+    # broadcast at this scale (AQE would pick sides at 100 TB)
+    p = plan_of(incremental_dedup(spark, "/root/testdata/sf0.001"))
+    checks.append(("incdedup-broadcast", "BroadcastHashJoin" in p))
+
+    # pure-codegen linear gate: no exchange, no Python
+    p = plan_of(quality_classifier(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("quality-gate-narrow-codegen",
+         "Exchange" not in p and "ArrowEvalPython" not in p)
+    )
+
+    # percentiles: the corpus-sized operation is ONE combinable
+    # aggregate (partial_count before its exchange); the window sorts
+    # only the distinct-value rows, and no Python anywhere
+    p = plan_of(doclen_percentiles(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("percentiles-partial-agg-then-window",
+         "partial_count" in p and "Window" in p
+         and "ArrowEvalPython" not in p)
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (
