@@ -37,7 +37,18 @@ from pdf_parser_spark.engine.objects import (
     as_name,
     as_ref,
 )
-from pdf_parser_spark.engine.parser import Parser
+from pdf_parser_spark.engine.parser import Parser, _WSC
+
+import re as _re
+
+# `num gen obj` header consumed in one C-level match (see resolve);
+# boundary guards mirror the lexer: an int must not run into [0-9.],
+# the `obj` keyword is a maximal alpha run
+_OBJ_HDR_RE = _re.compile(
+    _WSC + rb"([0-9]+)(?![0-9.])"
+    + _WSC + rb"([0-9]+)(?![0-9.])"
+    + _WSC + rb"obj(?![A-Za-z])"
+)
 
 
 class XRefEntry:
@@ -90,14 +101,25 @@ class Document:
             return obj
 
         parser = Parser(self.data)
-        parser.seek(entry.offset)
-        # expect: num gen obj <content> endobj
-        num = parser.parse_object()
-        if not (isinstance(num, int) and not isinstance(num, bool) and num == ref.num):
-            raise ParseError(entry.offset, "Expected object number")
-        gen = parser.parse_object()
-        if not (isinstance(gen, int) and not isinstance(gen, bool)):
-            raise ParseError(entry.offset, "Expected generation number")
+        # expect: num gen obj <content> endobj.  Fast path: one C-level
+        # match consumes the whole header (the token path spends ~7
+        # Python token ops on the num/gen lookahead dance); any
+        # off-pattern header (comments mid-header are covered by the
+        # regex, signs/reals are not) falls back to the token path with
+        # identical semantics and errors.
+        m = _OBJ_HDR_RE.match(self.data, entry.offset)
+        if m is not None and int(m.group(1)) == ref.num:
+            parser.seek(m.end())
+        else:
+            parser.seek(entry.offset)
+            num = parser.parse_object()
+            if not (
+                isinstance(num, int) and not isinstance(num, bool) and num == ref.num
+            ):
+                raise ParseError(entry.offset, "Expected object number")
+            gen = parser.parse_object()
+            if not (isinstance(gen, int) and not isinstance(gen, bool)):
+                raise ParseError(entry.offset, "Expected generation number")
         obj = parser.parse_object()
         if obj is None:
             raise ParseError(parser.position, "Expected object content")

@@ -53,9 +53,17 @@ _DICT_ENTRY_RE = _re.compile(
     + rb"(?P<vg>[0-9]+)(?![0-9.])" + _WSC + rb"R(?![A-Za-z])"
     + rb"|(?P<vnum>" + _LEXNUM + rb")(?=" + _WSC + rb"(?:/|>>))"
     + rb"|\[(?P<varr>(?:" + _WSC + _LEXNUM + rb")*)" + _WSC + rb"\]"
+    + rb"|\[(?P<vrefs>(?:"
+    + _WSC + rb"[0-9]+(?![0-9.])" + _WSC + rb"[0-9]+(?![0-9.])"
+    + _WSC + rb"R(?![A-Za-z]))+)" + _WSC + rb"\]"
     + rb")"
 )
 _NUM_RE = _re.compile(_LEXNUM)
+# pair extraction for an all-reference array value (e.g. /Kids):
+# matched AFTER vrefs already validated the shape, so bare groups
+_REF_PAIR_RE = _re.compile(
+    _WSC + rb"([0-9]+)" + _WSC + rb"([0-9]+)" + _WSC + rb"R"
+)
 
 
 class Parser:
@@ -156,8 +164,8 @@ class Parser:
             if not self.peeked:
                 m = entry(lexer.data, lexer.pos)
                 if m is not None:
-                    k, vn, vo, vg, vnum, varr = m.group(
-                        "k", "vn", "vo", "vg", "vnum", "varr"
+                    k, vn, vo, vg, vnum, varr, vrefs = m.group(
+                        "k", "vn", "vo", "vg", "vnum", "varr", "vrefs"
                     )
                     try:
                         key = k.decode("utf-8")
@@ -173,6 +181,12 @@ class Parser:
                                 if b"." in vnum
                                 else int(vnum)
                             )
+                        elif vrefs is not None:
+                            # all-reference array (/Kids, /Contents)
+                            value = [
+                                Ref(int(n) & 0xFFFFFFFF, int(g) & 0xFFFF)
+                                for n, g in _REF_PAIR_RE.findall(vrefs)
+                            ]
                         else:
                             value = [
                                 float(t) if b"." in t else int(t)
