@@ -65,7 +65,7 @@ class XRefEntry:
 
 
 class Document:
-    __slots__ = ("data", "xref", "trailer", "cache", "_pages")
+    __slots__ = ("data", "xref", "trailer", "cache", "_pages", "_font_encs")
 
     def __init__(self, data: bytes, xref: dict, trailer: dict):
         self.data = data
@@ -73,6 +73,7 @@ class Document:
         self.trailer = trailer
         self.cache: dict[Ref, object] = {}
         self._pages = None
+        self._font_encs: dict[Ref, FontEncoding] = {}
 
     # -- construction ----------------------------------------------------
 
@@ -290,6 +291,22 @@ class Document:
         return encodings
 
     def _load_single_font_encoding(self, font_ref) -> FontEncoding:
+        # per-document memo keyed on the font REFERENCE: multi-page
+        # documents share font objects across pages, and the encoding
+        # build (ToUnicode CMap parse in particular) is deterministic
+        # in the font object, so page 2+ reuses page 1's result.
+        # Direct (non-Ref) font dicts skip the memo.
+        key = font_ref if isinstance(font_ref, Ref) else None
+        if key is not None:
+            cached = self._font_encs.get(key)
+            if cached is not None:
+                return cached
+        enc = self._load_single_font_encoding_uncached(font_ref)
+        if key is not None:
+            self._font_encs[key] = enc
+        return enc
+
+    def _load_single_font_encoding_uncached(self, font_ref) -> FontEncoding:
         font = self.get_object(font_ref)
         font_dict = as_dict(font)
         if font_dict is None:
