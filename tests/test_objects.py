@@ -60,3 +60,58 @@ def test_two_ints_not_a_ref():
     assert p.parse_object() == 10
     assert p.parse_object() == 20
     assert p.parse_object() == 30
+
+
+# -- fast-path fallback edges (the combined dict-entry / obj-header
+#    regexes must agree with the token path on every off-pattern shape)
+
+
+def test_ref_array_fast_path_shapes():
+    # clean all-ref array (the /Kids shape) — fast-pathed
+    assert Parser(b"<< /Kids [3 0 R 5 0 R 7 0 R] >>").parse_object() == {
+        "Kids": [Ref(3, 0), Ref(5, 0), Ref(7, 0)]
+    }
+    # comments between tokens: off the fast pattern, token path result
+    assert Parser(b"<< /Kids [3 0 %c\n R] >>").parse_object() == {
+        "Kids": [Ref(3, 0)]
+    }
+    # a real where the gen must be an int: NOT a ref — the stray R is
+    # an error on the token path (reference: parse_object has no R
+    # arm), and the fast path must fall back to that same error, not
+    # silently accept the shape
+    import pytest
+
+    from pdf_parser_spark.engine.errors import ParseError
+
+    with pytest.raises(ParseError):
+        Parser(b"<< /A [1 0.5 R] /B 2 >>").parse_object()
+    # mixed array (name inside) falls back and still parses
+    v = Parser(b"<< /A [1 0 R /N 2] >>").parse_object()
+    assert v["A"] == [Ref(1, 0), Name("N"), 2]
+    # empty array stays the numeric-array fast path
+    assert Parser(b"<< /A [] >>").parse_object() == {"A": []}
+    # 'R2' is the R keyword followed by int 2 (lexer keyword rule):
+    # [1 0 R2] therefore holds Ref(1,0) then 2 on the token path; the
+    # fast path must agree (guard only excludes alpha after R)
+    assert Parser(b"<< /A [1 0 R2] >>").parse_object() == {
+        "A": [Ref(1, 0), 2]
+    }
+
+
+def test_obj_header_fast_path_agrees_with_token_path():
+    from pdf_parser_spark.engine.document import _OBJ_HDR_RE
+
+    # canonical header
+    m = _OBJ_HDR_RE.match(b"12 0 obj << /A 1 >>")
+    assert m and m.group(1) == b"12"
+    # comments inside the header are consumed like lexer whitespace
+    m = _OBJ_HDR_RE.match(b"12 %x\n 0 obj null")
+    assert m and m.group(1) == b"12"
+    # 'obj2' is keyword obj + int 2 under the lexer's alpha-run rule,
+    # so the fast path may consume the header; 'objx' is the unknown
+    # keyword 'objx' and must NOT match
+    assert _OBJ_HDR_RE.match(b"12 0 obj2") is not None
+    assert _OBJ_HDR_RE.match(b"12 0 objx null") is None
+    # a real in either slot is not a header
+    assert _OBJ_HDR_RE.match(b"12.5 0 obj") is None
+    assert _OBJ_HDR_RE.match(b"12 0.5 obj") is None
