@@ -48,6 +48,8 @@ BENCH_OPS = [
     "text_fingerprint",
     "text_repetition",
     "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
     "contamination_ngram",
     "domain_stats",
     "sample_hash",

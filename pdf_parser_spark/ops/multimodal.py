@@ -112,6 +112,138 @@ SELECT doc_id,
 FROM documents
 """
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame_h32", LongType()),
+    ]
+)
+
+FRAME_STRIDE = 2
+FRAME_FPS_MS = 40  # 25 fps
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video-style payloads: each payload
+    fans out to every {FRAME_STRIDE}nd frame (count from the decode
+    stub), one row per sampled frame with its timestamp and a
+    frame-level content hash.
+
+    Scale: a narrow mapInPandas that EMITS more rows than it reads —
+    the output/input row ratio is bounded by frames/stride, so Arrow
+    batch memory stays bounded; no shuffle at all.  A real deployment
+    swaps the stub for ffmpeg keyframe extraction and the emitted
+    hash for a frame embedding; the fan-out shape is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = text.encode("utf-8")
+                _fmt, _w, _h, n_frames = _decode_stub(payload)
+                for idx in range(0, n_frames, FRAME_STRIDE):
+                    rows.append(
+                        (
+                            doc_id,
+                            idx,
+                            idx * FRAME_FPS_MS,
+                            _h32_py(payload + b"|" + str(idx).encode()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "ts_ms", "frame_h32"]
+            )
+
+    return docs.mapInPandas(sample, FRAME_SCHEMA)
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = f"""
+WITH meta AS (
+  SELECT doc_id, text,
+         (1 + ({_H.format(e="concat('f|', text)")} % 4)) AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, text,
+         unnest(range(0, n_frames, {FRAME_STRIDE})) AS frame_idx
+  FROM meta
+)
+SELECT doc_id,
+       frame_idx::INTEGER AS frame_idx,
+       (frame_idx * {FRAME_FPS_MS})::BIGINT AS ts_ms,
+       {_H.format(e="concat(text, '|', frame_idx::VARCHAR)")} AS frame_h32
+FROM frames
+"""
+
+
+RESIZE_BOX = 64
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning: aspect-preserving fit of each payload's
+    (stub-decoded) dimensions into a {RESIZE_BOX}px box, all-integer
+    arithmetic (floor((dim * box) / max_dim), floored at 1 px) so the
+    plan is bit-identical on every engine.
+
+    Scale: same narrow mapInPandas shape as the decode; the real
+    pixel resample (PIL ``Image.resize``) replaces only the body —
+    the dimension contract emitted here is what a production job
+    records next to the resized blob for audit.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = text.encode("utf-8")
+                _fmt, w, h, _nf = _decode_stub(payload)
+                m = max(w, h)
+                tw = max(1, (w * RESIZE_BOX) // m)
+                th = max(1, (h * RESIZE_BOX) // m)
+                rows.append((doc_id, w, h, tw, th))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "target_w", "target_h"],
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("target_w", IntegerType()),
+            StructField("target_h", IntegerType()),
+        ]
+    )
+    return docs.mapInPandas(plan, schema)
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH meta AS (
+  SELECT doc_id,
+         (16 + ({_H.format(e="concat('w|', text)")} % 240)) AS w,
+         (16 + ({_H.format(e="concat('h|', text)")} % 240)) AS h
+  FROM documents
+)
+SELECT doc_id,
+       w::INTEGER AS width,
+       h::INTEGER AS height,
+       greatest(1, (w * {RESIZE_BOX}) // greatest(w, h))::INTEGER AS target_w,
+       greatest(1, (h * {RESIZE_BOX}) // greatest(w, h))::INTEGER AS target_h
+FROM meta
+"""
+
+
 QUERIES = {
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
+    "multimodal_frame_sample": (
+        multimodal_frame_sample,
+        MULTIMODAL_FRAME_SAMPLE_SQL,
+    ),
+    "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
 }
