@@ -151,8 +151,12 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_keeper = new_batch.groupBy(F.col("text_md5").alias("batch_md5")).agg(
         F.min("doc_id").alias("keeper_id")
     )
+    # corpus-membership join carries NO hint: AQE picks the build side
+    # (at production shape corpus >> batch, it broadcasts the batch);
+    # the keeper join's build side IS the batch aggregate — always the
+    # small side by construction, so the hint there is safe
     out = (
-        new_batch.join(F.broadcast(corpus_hashes), "text_md5", "left")
+        new_batch.join(corpus_hashes, "text_md5", "left")
         .join(
             F.broadcast(batch_keeper),
             new_batch["text_md5"] == batch_keeper["batch_md5"],

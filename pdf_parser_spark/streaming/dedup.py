@@ -45,7 +45,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from pdf_parser_spark.streaming.job import PAGES_STREAM_SCHEMA
+from pdf_parser_spark.streaming.job import PAGES_STREAM_SCHEMA, _committed
 
 DEDUP_STATE_SCHEMA = StructType([StructField("keeper_url", StringType())])
 
@@ -60,36 +60,59 @@ DEDUP_OUTPUT_SCHEMA = StructType(
 
 
 def _dedup_group(key, pdf_iter, state: GroupState):
-    """All rows sharing one content hash, this batch: admit the min
-    url iff the hash is unseen; everything else is a reject pointing
-    at the keeper."""
+    """All rows sharing one content hash, this batch: admit exactly ONE
+    row (the min url's first occurrence) iff the hash is unseen;
+    everything else is a reject pointing at the keeper.
+
+    Memory shape: the hot-key case — a viral page duplicated millions
+    of times in one batch — is a state HIT (the hash was admitted in
+    some earlier batch), and that path streams chunk-by-chunk with
+    zero buffering: every row is a reject against the known keeper.
+    Only a state MISS (first sighting) must see all urls before
+    emitting (the keeper is the batch-wide min), so it buffers the
+    url arrays; first sightings are bounded by distinct-content
+    arrival, not by duplication hotness."""
     (content_md5,) = key
-    frames = [pdf for pdf in pdf_iter]
-    if not frames:
-        return
-    batch = pd.concat(frames, ignore_index=True)
-    urls = sorted(batch["url"].tolist())
+    cols = ["url", "content_md5", "admitted", "keeper_url"]
     if state.exists:
         (keeper,) = state.get
-        admitted_url = None
-    else:
-        keeper = urls[0]
-        admitted_url = keeper
-        state.update((keeper,))
-    out = [
-        (u, content_md5, u == admitted_url, keeper)
-        for u in urls
-    ]
-    yield pd.DataFrame(
-        out, columns=["url", "content_md5", "admitted", "keeper_url"]
-    )
-
-
-def _committed(spark: SparkSession, directory: str) -> bool:
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(f"{directory}/_SUCCESS")
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(path))
+        for pdf in pdf_iter:
+            if len(pdf):
+                yield pd.DataFrame(
+                    {
+                        "url": pdf["url"],
+                        "content_md5": content_md5,
+                        "admitted": False,
+                        "keeper_url": keeper,
+                    },
+                    columns=cols,
+                )
+        return
+    chunks = [pdf["url"] for pdf in pdf_iter if len(pdf)]
+    if not chunks:
+        return
+    keeper = min(c.min() for c in chunks)
+    state.update((keeper,))
+    admitted_done = False
+    for c in chunks:
+        if admitted_done:
+            admitted = pd.Series(False, index=c.index)
+        else:
+            admitted = c == keeper
+            if admitted.any():
+                # exactly one admission: the keeper's FIRST occurrence
+                first = admitted.idxmax()
+                admitted = admitted & (admitted.index == first)
+                admitted_done = True
+        yield pd.DataFrame(
+            {
+                "url": c,
+                "content_md5": content_md5,
+                "admitted": admitted,
+                "keeper_url": keeper,
+            },
+            columns=cols,
+        )
 
 
 def stream_dedup(

@@ -51,6 +51,7 @@ from pyspark.sql.types import (
 )
 
 from pdf_parser_spark.ops.temporal import SESSION_GAP_US
+from pdf_parser_spark.streaming.job import _committed
 
 EVENTS_STREAM_SCHEMA = StructType(
     [
@@ -130,13 +131,6 @@ def _sessionize_group(key, pdf_iter, state: GroupState):
             "closed",
         ],
     )
-
-
-def _committed(spark: SparkSession, directory: str) -> bool:
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(f"{directory}/_SUCCESS")
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(path))
 
 
 def stream_sessionize(

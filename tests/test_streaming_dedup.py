@@ -99,6 +99,27 @@ def test_cross_batch_rejection_via_state(spark, tmp_path_factory):
     assert adm == {"a1", "a2", "b1"}
 
 
+def test_duplicate_url_rows_admit_exactly_once(spark, tmp_path_factory):
+    """The same (url, payload) row appearing twice in one batch (a page
+    crawled twice in one landing window) must admit exactly ONE row —
+    the keeper's first occurrence — not every row matching the keeper
+    url."""
+    base = str(tmp_path_factory.mktemp("sd4"))
+    inp, out, cp = f"{base}/in", f"{base}/out", f"{base}/cp"
+    _write_pages(
+        spark,
+        f"{inp}/f0",
+        [("u1", b"X"), ("u1", b"X"), ("u2", b"X")],
+    )
+    stream_dedup(spark, f"{inp}/*/", out, cp)
+    rows = spark.read.parquet(f"{out}/verdicts").collect()
+    assert len(rows) == 3
+    admitted = [r for r in rows if r.admitted]
+    assert len(admitted) == 1
+    assert admitted[0].url == "u1"
+    assert all(r.keeper_url == "u1" for r in rows)
+
+
 def test_replay_is_idempotent(spark, tmp_path_factory):
     """Re-running a drained stream must add no batches and change no
     verdicts (checkpoint file-log + _SUCCESS-guarded sink)."""
