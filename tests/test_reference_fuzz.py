@@ -648,3 +648,70 @@ def test_reference_panics_on_tolerance_chain(ref_bin):
     two = {fmt: fn(data) for fmt, fn in FN.items()}
     assert one == two
     assert "s0" in one["txt"]
+
+
+# -- fast-path fallback fuzzing -----------------------------------------
+# The combined-regex fast paths (dict entries, all-ref arrays, obj
+# headers — parser.py/document.py) must fall back to the token path on
+# every off-pattern shape with UNCHANGED semantics.  Generate documents
+# whose structural syntax is deliberately off-pattern (comments inside
+# Kids arrays and headers, odd spacing, single-element ref arrays,
+# number-with-comment entries) and diff all six formats against the
+# reference binary.
+
+
+def _odd_ws(rng: random.Random) -> bytes:
+    """Whitespace/comment filler legal between any two tokens."""
+    picks = [b" ", b"  ", b"\n", b"\r\n", b"\t", b" % note\n", b"\x00 ",
+             b" %\n", b"\x0c"]
+    return b"".join(rng.choice(picks) for _ in range(rng.randint(1, 2)))
+
+
+def gen_fastpath_fallback_pdf(rng: random.Random) -> bytes:
+    w = lambda: _odd_ws(rng)  # noqa: E731
+    n_pages = rng.randint(1, 3)
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = w().join(b"%d 0 R" % (10 + i) for i in range(n_pages))
+    b.add(2, b"<<%s/Type /Pages /Kids [%s%s%s] /Count%s%d >>"
+          % (w(), w(), kids, w(), w(), rng.randint(0, 9)))
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica%s >>"
+          % rng.choice(ENCODINGS))
+    res = b"/Resources << /Font << /F1 5 0 R >> >>"
+    for i in range(n_pages):
+        content = _content_stream(rng, [b"F1"])
+        if rng.random() < 0.5:
+            # single-element ref ARRAY Contents (fast-path vrefs shape)
+            b.add_stream(30 + i, b"", content)
+            contents = b"[%s%d 0 R%s]" % (w(), 30 + i, w())
+        else:
+            b.add_stream(30 + i, b"", content)
+            contents = b"%d 0 R" % (30 + i)
+        mb = b"[%s0 0%s612 792%s]" % (w(), w(), w())
+        b.add(10 + i, b"<<%s/Type /Page /Parent 2 0 R /MediaBox %s "
+              b"/Contents %s %s%s>>" % (w(), mb, contents, res, w()))
+    data = b.build()
+    if rng.random() < 0.5:
+        # incremental update whose OBJ HEADER carries odd ws/comments —
+        # knocks the _OBJ_HDR_RE fast path back to the token path
+        new_content = _content_stream(rng, [b"F1"])
+        base_xref_off = data.rfind(b"\nxref\n") + 1
+        out = bytearray(data)
+        obj_off = len(out)
+        out += (b"30" + w() + b"0" + w() + b"obj\n<< /Length %d >>\nstream\n"
+                % len(new_content) + new_content + b"\nendstream\nendobj\n")
+        new_xref_off = len(out)
+        out += b"xref\n30 1\n%010d 00000 n \n" % obj_off
+        out += (b"trailer\n<< /Size 40 /Root 1 0 R /Prev %d >>\n"
+                b"startxref\n%d\n%%%%EOF\n" % (base_xref_off, new_xref_off))
+        return bytes(out)
+    return data
+
+
+def test_fuzz_fastpath_fallback_byte_identity(ref_bin):
+    rng = random.Random(SEED + 7)
+    all_diffs = []
+    for doc_i in range(80):
+        data = gen_fastpath_fallback_pdf(rng)
+        all_diffs += _run_diff(ref_bin, data, f"fallback-{doc_i}")
+    assert not all_diffs, all_diffs[:4]
