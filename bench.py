@@ -43,6 +43,7 @@ BENCH_OPS = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "text_token_stats",
+    "text_bpe_tokens",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

@@ -336,8 +336,51 @@ FROM grams LEFT JOIN top ON grams.doc_id = top.doc_id
 """
 
 
+# BPE-ish pre-tokenizer (GPT-2-family shape), restricted to syntax
+# both Java regex (Spark) and RE2 (DuckDB) execute identically: no
+# lookarounds, explicit classes.  An optional leading space glues to
+# the following run, like the GPT-2 pre-tokenizer; runs split into
+# letter / digit / other classes.
+BPE_WORD = " ?[A-Za-z]+"
+BPE_NUM = " ?[0-9]+"
+BPE_OTHER = " ?[^A-Za-z0-9 ]+"
+BPE_ALL = f"{BPE_WORD}|{BPE_NUM}|{BPE_OTHER}| +"
+
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: the GPT-2-style pre-tokenizer pass
+    that bounds how many BPE tokens a tokenizer can emit — the number
+    every data-mix budget is quoted in.  Counts total pre-tokens plus
+    the per-class split (word / number / other runs).
+
+    Scale: four ``regexp_count`` calls in one narrow codegen pass —
+    no Python, no shuffle, parquet-scan speed.  The pattern is
+    deliberately lookaround-free so the oracle (RE2) and Spark (Java
+    regex) match byte-for-byte.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(BPE_ALL)).alias("n_bpe_tokens"),
+        F.regexp_count("text", F.lit(BPE_WORD)).alias("n_word_runs"),
+        F.regexp_count("text", F.lit(BPE_NUM)).alias("n_number_runs"),
+        F.regexp_count("text", F.lit(BPE_OTHER)).alias("n_other_runs"),
+    )
+
+
+TEXT_BPE_TOKENS_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_ALL}')) AS n_bpe_tokens,
+       len(regexp_extract_all(text, '{BPE_WORD}')) AS n_word_runs,
+       len(regexp_extract_all(text, '{BPE_NUM}')) AS n_number_runs,
+       len(regexp_extract_all(text, '{BPE_OTHER}')) AS n_other_runs
+FROM documents
+"""
+
+
 QUERIES = {
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
+    "text_bpe_tokens": (text_bpe_tokens, TEXT_BPE_TOKENS_SQL),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_SCORE_SQL),
     "text_lang_id": (text_lang_id, _lang_id_sql()),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
