@@ -406,13 +406,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emitted.alias("b")
     inter = F.size(F.array_intersect("a.shs", "b.shs"))
     union = F.size(F.array_union("a.shs", "b.shs"))
+    # exact pre-filter: J ≤ min(|A|,|B|)/max(|A|,|B|) (inter ≤ min,
+    # union ≥ max), so a pair whose size ratio is already below the
+    # post-round threshold can never survive — reject it on two size
+    # comparisons BEFORE paying the intersect/union set arithmetic.
+    # 0.49995 is the exact post-roundn(4) acceptance boundary used in
+    # the band-gap argument above; removal-only, so the unbanded
+    # oracle equality (the output-invariance proof) is untouched.
+    sz_a, sz_b = F.size("a.shs"), F.size("b.shs")
+    ratio_ok = F.least(sz_a, sz_b).cast("double") >= (
+        F.greatest(sz_a, sz_b) * 0.49995
+    )
     return (
         a.join(
             b,
             (F.col("a.mh0") == F.col("b.mh0"))
             & (F.col("a.k") == F.col("b.k"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.k") == F.greatest("a.band", "b.band")),
+            & (F.col("a.k") == F.greatest("a.band", "b.band"))
+            & ratio_ok,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
