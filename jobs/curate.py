@@ -120,15 +120,28 @@ def neardup_collapse(df: DataFrame, text_col: str = "text_extracted") -> DataFra
 
 
 def curate(extracted: DataFrame) -> tuple[DataFrame, list[dict]]:
-    """Run the funnel; returns (curated DF, per-stage lineage rows)."""
-    funnel: list[dict] = []
+    """Run the funnel; returns (curated DF, per-stage lineage rows).
 
-    def stage(name: str, frame: DataFrame) -> DataFrame:
-        frame = frame.persist()
+    Cache discipline: each stage needs only its own count and its
+    immediate successor, so stage N-1 is unpersisted as soon as stage
+    N has materialized — at most two stages are ever cached, bounding
+    executor cache pressure on a 100 TB input.  The raw input is
+    counted but never persisted (it is a plain scan both consumers
+    re-read at parquet speed)."""
+    funnel: list[dict] = []
+    prev: list[DataFrame] = []
+
+    def stage(name: str, frame: DataFrame, persist: bool = True) -> DataFrame:
+        if persist:
+            frame = frame.persist()
         funnel.append({"stage": name, "rows": frame.count()})
+        if persist:
+            if prev:
+                prev[0].unpersist()
+            prev[:] = [frame]
         return frame
 
-    s0 = stage("input", extracted)
+    s0 = stage("input", extracted, persist=False)
     s1 = stage("decoded", s0.filter(F.col("decode_error").isNull()))
     s2 = stage("quality", quality_floor(s1))
     s3 = stage("exact_dedup", exact_dedup(s2))

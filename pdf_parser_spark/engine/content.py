@@ -345,21 +345,28 @@ class ContentParser:
                         gs = item.groups()
                         bn, bs, raw = gs[0], gs[1], gs[8]
                         try:
-                            fsize = fsize_of.get(bs)
-                            if fsize is None:
-                                fsize = fsize_of[bs] = float(bs)
+                            # temporaries only: a failing item must
+                            # not clobber the last SUCCESSFUL item's
+                            # values (the post-loop state rebuild
+                            # reads fsize/e/f_ — a half-written batch
+                            # here once produced a TypeError on
+                            # hostile streams like '/F1 1-2 Tf')
+                            fsize2 = fsize_of.get(bs)
+                            if fsize2 is None:
+                                fsize2 = fsize_of[bs] = float(bs)
                             abcd = gs[2:6]
                             if abcd not in abcd_ok:
                                 for g in abcd:
                                     float(g)
                                 abcd_ok.add(abcd)
-                            e = float(gs[6])
-                            f_ = float(gs[7])
+                            e2 = float(gs[6])
+                            f2 = float(gs[7])
                         except ValueError:
                             # a class-matched number float() rejects:
                             # not a LINE item — no state was touched;
                             # the generic loop re-lexes from here
                             break
+                        fsize, e, f_ = fsize2, e2, f2
                         fname = fname_of.get(bn)
                         if fname is None:
                             fname = fname_of[bn] = bn.decode("latin-1")

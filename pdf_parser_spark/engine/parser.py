@@ -44,11 +44,15 @@ _WSC = rb"(?>(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*[\r\n]?)*)"
 _LEXNAME = rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%#]*"
 _LEXNUM = rb"[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+|[0-9]+(?![0-9.]))"
 _DICT_ENTRY_RE = _re.compile(
+    # name groups are ATOMIC (like lexer.py's _LEX_RE): without (?>...)
+    # backtracking can split a name to satisfy the (?!#) guard or peel
+    # trailing digits into a fake value — '/My#20Font' must fall back
+    # to the token path whole, never half-match as vn='M'
     _WSC
-    + rb"/(?P<k>" + _LEXNAME + rb")(?!#)"
+    + rb"/(?>(?P<k>" + _LEXNAME + rb"))(?!#)"
     + _WSC
     + rb"(?:"
-    + rb"/(?P<vn>" + _LEXNAME + rb")(?!#)"
+    + rb"/(?>(?P<vn>" + _LEXNAME + rb"))(?!#)"
     + rb"|(?P<vo>[0-9]+)(?![0-9.])" + _WSC
     + rb"(?P<vg>[0-9]+)(?![0-9.])" + _WSC + rb"R(?![A-Za-z])"
     + rb"|(?P<vnum>" + _LEXNUM + rb")(?=" + _WSC + rb"(?:/|>>))"

@@ -242,18 +242,15 @@ def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from pdf_parser_spark.ops.textstats import STOPWORDS
+    from pdf_parser_spark.ops.textstats import quality_score_col
     from pdf_parser_spark.ops.common import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     tok = tokens(F.col("text"))
-    n = F.size(tok)
-    stop_ratio = F.size(F.filter(tok, lambda t: t.isin(STOPWORDS))).cast(
-        "double"
-    ) / n
-    diversity = F.size(F.array_distinct(tok)).cast("double") / n
-    length_sat = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
-    quality = roundn(0.4 * stop_ratio + 0.3 * diversity + 0.3 * length_sat, 4)
+    # the ONE quality definition (textstats.quality_score_col) — the
+    # audited quality distribution and this verdict must score
+    # identically or the keep floor cuts a different corpus
+    quality = quality_score_col(tok)
 
     keeper = F.col("doc_id") == F.min("doc_id").over(
         Window.partitionBy(F.md5(F.col("text").cast("binary")))

@@ -374,12 +374,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents creates one quadratic bucket.  Compositing the shuffle
     key with ``floor(log2(|shingles|))`` splits any such bucket by
     document size.  Output-invariant: J(A,B) ≤ min/max set-size ratio,
-    so any pair reaching JACCARD_THRESHOLD (0.5, even after the
-    4-decimal round: min ≥ 0.49995·max forbids a 2-band gap — if the
-    small doc sits below 2^(k+1) the large one cannot reach 2^(k+2))
-    lies within one band of itself; each doc emits (band, band+1) and
-    a pair is kept only at k = max(band_a, band_b), so every surviving
-    pair meets exactly once and no pair above the threshold is lost.
+    and a pair can survive the post-round threshold only when
+    min ≥ 0.49995·max, which bounds the band gap at TWO (log2(0.49995)
+    = -1.0000144…, so floor(log2) values differ by at most 2, and the
+    gap-2 case is real: 16383 vs 32768 has bands 13/15 yet rounds to
+    J = 0.5).  Each doc therefore emits (band, band+1, band+2) and a
+    pair is kept only at k = max(band_a, band_b) — every surviving
+    pair meets exactly once (one k equals the max) and no pair above
+    the threshold is lost.
     Jaccard itself is exact set arithmetic on the shingle arrays
     (array_intersect/array_union, JVM-side).  The DuckDB oracle keeps
     the simpler unbanded form — equality of results IS the
@@ -400,7 +402,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shs",
         "mh0",
         "band",
-        F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("k"),
+        F.explode(
+            F.array(F.col("band"), F.col("band") + 1, F.col("band") + 2)
+        ).alias("k"),
     )
     a = emitted.alias("a")
     b = emitted.alias("b")

@@ -36,6 +36,7 @@ Spark layer.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -97,7 +98,13 @@ def _sessionize_group(key, pdf_iter, state: GroupState):
     # naive-epoch micros: datetime64[ns] -> ns -> us (matches the batch
     # op's timestampdiff-from-NTZ-epoch and DuckDB's epoch_us)
     us = batch["ts"].astype("int64") // 1000
-    cents = (batch["value"] * 100 + 0.5).astype("int64")  # floor(v*100+.5)
+    # floor(v*100+0.5) like the batch twin — np.floor, NOT astype
+    # truncation, which rounds toward zero and diverges on negative
+    # values (-0.02: floor(-1.5) = -2 vs int(-1.5) = -1); NaN values
+    # contribute 0, matching SUM's null-skipping on the batch side
+    cents = np.floor(
+        np.nan_to_num(batch["value"].to_numpy(dtype="float64")) * 100 + 0.5
+    ).astype("int64")
     etype = batch["event_type"]
 
     if state.exists:

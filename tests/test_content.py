@@ -223,3 +223,21 @@ def test_line_run_rejects_class_matched_nonfloats():
             ContentParser(body).parse()
         with _pytest.raises(ParseError, match="Invalid number"):
             ContentParser(body.replace(b" /F1", b" % c\n/F1")).parse()
+
+
+def test_line_batch_run_survives_float_rejecting_tail():
+    """A run item whose size/matrix token matches the permissive
+    number class but float-rejects must break to the generic loop
+    WITHOUT clobbering the last successful item's state (once raised
+    TypeError via a half-written batch)."""
+    from pdf_parser_spark.engine.content import ContentParser
+
+    s = (b"/F1 12 Tf 1 0 0 1 10 20 Tm (a) Tj "
+         b"/F1 12 Tf 1 0 0 1 11 21 Tm (b) Tj "
+         b"/F1 1-2 Tf 1 0 0 1 12 22 Tm (c) Tj")
+    spans = ContentParser(s, {}).parse()
+    # generic loop takes over: 1-2 lexes as 1 then -2, Tf size -2.0
+    assert [(sp.text, sp.font_size) for sp in spans] == [
+        ("c", -2.0),
+        ("ab", 12.0),
+    ]

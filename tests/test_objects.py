@@ -115,3 +115,24 @@ def test_obj_header_fast_path_agrees_with_token_path():
     # a real in either slot is not a header
     assert _OBJ_HDR_RE.match(b"12.5 0 obj") is None
     assert _OBJ_HDR_RE.match(b"12 0.5 obj") is None
+
+
+def test_dict_fast_path_atomic_names():
+    """Non-atomic name groups once let backtracking split a name to
+    satisfy the (?!#) guard ('/My#20Font' half-matched as vn='M') or
+    peel digits into a fake value ('/K1.5' as {'K1.': 5})."""
+    import pytest
+
+    from pdf_parser_spark.engine.errors import ParseError
+
+    assert Parser(b"<< /F /My#20Font >>").parse_object() == {
+        "F": Name("My Font")
+    }
+    assert Parser(b"<< /Type /Font /BaseFont /Times#2DRoman >>").parse_object() == {
+        "Type": Name("Font"),
+        "BaseFont": Name("Times-Roman"),
+    }
+    with pytest.raises(ParseError):
+        Parser(b"<< /K1.5 >>").parse_object()
+    with pytest.raises(ParseError):
+        Parser(b"<< /K0 65537 R >>").parse_object()

@@ -141,3 +141,22 @@ def test_ngram_jaccard_bucket_bound_under_skew(spark, tmp_path):
         if j >= JACCARD_THRESHOLD:
             expect.add((a["doc_id"], b["doc_id"], j))
     assert got == expect
+
+
+def test_jaccard_band_gap_bound():
+    """The banding argument in ops/dedup.dedup_ngram_jaccard: any pair
+    that can survive the post-round threshold (min >= 0.49995*max) has
+    floor(log2) band gap <= 2, and gap exactly 2 occurs — so emitting
+    (band, band+1, band+2) is both necessary and sufficient."""
+    import math
+
+    max_gap = 0
+    for mx in list(range(2, 5000)) + [2**k for k in range(12, 31)] + [
+        2**k - 1 for k in range(12, 31)
+    ]:
+        mn = math.ceil(mx * 0.49995)
+        if mn < 1:
+            continue
+        gap = math.floor(math.log2(mx)) - math.floor(math.log2(mn))
+        max_gap = max(max_gap, gap)
+    assert max_gap == 2

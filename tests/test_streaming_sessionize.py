@@ -114,3 +114,28 @@ def test_replay_is_idempotent(spark, tmp_path_factory):
     # drain again with the same checkpoint: no new files -> no new batch
     stream_sessionize(spark, inp, out, cp)
     assert _streamed(spark, out) == before
+
+
+def test_group_fold_cents_floor_on_negative_values():
+    """floor(v*100+0.5) must match the batch twin on NEGATIVE values
+    (refunds): truncation-toward-zero once mapped -0.02 to -1 cent."""
+    import pandas as pd
+
+    from pdf_parser_spark.streaming.sessionize import _sessionize_group
+
+    class _FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    batch = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2025-01-01 00:00:00", "2025-01-01 00:00:01"]),
+            "event_type": ["refund", "refund"],
+            "value": [-0.02, float("nan")],
+        }
+    )
+    out = list(_sessionize_group((7,), iter([batch]), _FakeState()))[0]
+    # floor(-2+0.5) = -2 for the refund; NaN contributes 0
+    assert out.iloc[0]["value_cents"] == -2
