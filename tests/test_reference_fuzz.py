@@ -675,8 +675,12 @@ def gen_fastpath_fallback_pdf(rng: random.Random) -> bytes:
     kids = w().join(b"%d 0 R" % (10 + i) for i in range(n_pages))
     b.add(2, b"<<%s/Type /Pages /Kids [%s%s%s] /Count%s%d >>"
           % (w(), w(), kids, w(), w(), rng.randint(0, 9)))
-    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica%s >>"
-          % rng.choice(ENCODINGS))
+    # #-escaped names knock the dict-entry fast path's atomic name
+    # groups back to the token path (e.g. /Helvetica#2DBold = the
+    # BaseFont 'Helvetica-Bold'); the binary must agree byte-for-byte
+    base = rng.choice([b"/Helvetica", b"/Helvetica#2DBold", b"/Times#20New"])
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont %s%s >>"
+          % (base, rng.choice(ENCODINGS)))
     res = b"/Resources << /Font << /F1 5 0 R >> >>"
     for i in range(n_pages):
         content = _content_stream(rng, [b"F1"])
