@@ -196,9 +196,13 @@ def _cli_extract(doc: Document, fmt: str, page: int | None) -> str:
             if any(out):
                 out.append("\n")
             out.append(
-                table.to_csv()
-                if fmt == "csv"
-                else table.to_tsv() if fmt == "tsv" else table.to_text()
+                table.to_tsv()
+                if fmt == "tsv"
+                else table.to_text()
+                if fmt == "text"
+                # csv AND any unrecognized format: the reference CLI's
+                # wildcard arm falls back to CSV (main.rs:141)
+                else table.to_csv()
             )
     return "".join(out)
 
@@ -343,8 +347,13 @@ def extract_document(
                 result["text"] = text
                 result["spans"] = spans
                 result["n_elements"] = n_elements
-            else:
+            elif fmt in _FORMATS:
                 result["text"] = _FORMATS[fmt](bytes(data))
+            else:
+                # unrecognized fmt: the reference CLI's wildcard arm
+                # renders CSV (main.rs:141) — never a KeyError that
+                # would kill the executor task instead of making a row
+                result["text"] = _cli_extract(doc, fmt, None)
             result["n_pages"] = doc.page_count()
         except PageRangeError as e:
             result["error"] = str(e)

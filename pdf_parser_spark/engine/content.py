@@ -540,8 +540,20 @@ class ContentParser:
             # NaN-safe: the separation test must be the POSITIVE
             # condition (inf-y spans make the difference NaN, and a
             # NaN comparison is always False — phrased as `<= tol:
-            # break` that would skip the real sort)
-            if not (prev.y - s.y > prev.font_size * 0.3):
+            # break` that would skip the real sort).
+            #
+            # BOTH font sizes gate the fast path: the sort comparator's
+            # tolerance is the FIRST argument's font_size (the later
+            # span during insertion), the merge test's is the earlier
+            # span's — a big-font span following a small-font one
+            # within its own tolerance (small text above a large
+            # heading) must take the full path.  With every adjacent
+            # gap above both tolerances, any pair (i,j) has
+            # gap(i,j) >= max(adjacent gaps) > 0.3*max(fs_i, fs_j), so
+            # the comparator is strictly y-descending for EVERY pair —
+            # any sort is the identity and the merge can never fire.
+            gap = prev.y - s.y
+            if not (gap > prev.font_size * 0.3 and gap > s.font_size * 0.3):
                 clean = False
                 break
             prev = s

@@ -109,7 +109,11 @@ class Document:
         # regex, signs/reals are not) falls back to the token path with
         # identical semantics and errors.
         m = _OBJ_HDR_RE.match(self.data, entry.offset)
-        if m is not None and int(m.group(1)) == ref.num:
+        if (
+            m is not None
+            and int(m.group(1)) == ref.num
+            and int(m.group(2)) < 2**63  # lexer rejects i64 overflow
+        ):
             parser.seek(m.end())
         else:
             parser.seek(entry.offset)
@@ -227,7 +231,11 @@ class Document:
 
     def get_page(self, index: int):
         pages = self._all_pages()
-        if index >= len(pages):
+        # negative indexes must error like any out-of-range index (the
+        # reference's usize cannot even express them) — Python's
+        # negative list indexing would silently return a page from the
+        # END of the document
+        if index < 0 or index >= len(pages):
             raise InvalidStructure(f"Page {index} not found")
         return pages[index]
 
@@ -388,6 +396,11 @@ def parse_startxref(data: bytes, pos: int) -> int:
     parser.seek(pos + len(b"startxref"))
     obj = parser.parse_object()
     if isinstance(obj, int) and not isinstance(obj, bool):
+        # a negative offset cannot exist for the reference (usize) and
+        # must not reach Python's negative slicing/indexing, where it
+        # would silently parse from the END of the buffer
+        if obj < 0:
+            raise InvalidStructure("Invalid startxref offset")
         return obj
     raise ParseError(pos, "Expected xref offset after startxref")
 
@@ -401,6 +414,10 @@ def parse_xref_and_trailer(data: bytes, offset: int) -> tuple[dict, dict]:
     seen_offsets: set[int] = set()  # cycle guard (the reference would loop)
 
     while True:
+        if current < 0:
+            # negative Prev offsets (impossible for the reference's
+            # usize) must not hit Python's from-the-end slicing
+            raise InvalidStructure("Invalid xref offset")
         if current in seen_offsets:
             break
         seen_offsets.add(current)
@@ -455,7 +472,9 @@ def parse_traditional_xref(data: bytes, offset: int, xref: dict) -> None:
             count = int(parts[1])
         except ValueError:
             raise InvalidXref("invalid xref subsection header") from None
-        if start_obj < 0 or count < 0:
+        # the reference parses u32 (document.rs: parts[i].parse());
+        # Python's unbounded int() must reject the same range
+        if not (0 <= start_obj <= 0xFFFFFFFF and 0 <= count <= 0xFFFFFFFF):
             raise InvalidXref("invalid xref subsection header")
 
         pos = _skip_eol(data, eol)
@@ -473,6 +492,13 @@ def parse_traditional_xref(data: bytes, offset: int, xref: dict) -> None:
                 generation = int(line[11:16].strip())
             except ValueError:
                 raise InvalidXref("bad xref entry fields") from None
+            # reference field types: offset usize, generation u16 —
+            # a negative offset ('-000000017') or generation 99999
+            # fails parse there; unbounded int() must match (and a
+            # negative offset would otherwise index from the END of
+            # the buffer in resolve())
+            if entry_offset < 0 or not (0 <= generation <= 0xFFFF):
+                raise InvalidXref("bad xref entry fields")
             in_use = line[17] == 0x6E  # 'n'
             if in_use:
                 xref[start_obj + i] = XRefEntry(entry_offset, generation, True, False)

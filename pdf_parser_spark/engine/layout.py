@@ -63,8 +63,27 @@ def classify_spans(spans: list[TextSpan]) -> list[PageElement]:
 
 def _rust_round(x: float) -> float:
     """f64::round — half away from zero (Python's round() is
-    banker's rounding, which would misquantize *.25 sizes)."""
+    banker's rounding, which would misquantize *.25 sizes).  NaN/±inf
+    pass through like f64::round (math.floor would raise)."""
+    if not math.isfinite(x):
+        return x
     return math.copysign(math.floor(abs(x) + 0.5), x)
+
+
+_I32_MIN, _I32_MAX = -(2**31), 2**31 - 1
+
+
+def _as_i32(x: float) -> int:
+    """Rust's saturating ``as i32`` float cast: NaN → 0, ±inf and
+    out-of-range saturate (a 400-digit Tf size must quantize like the
+    reference, not raise OverflowError into the Spark task)."""
+    if x != x:
+        return 0
+    if x >= _I32_MAX:
+        return _I32_MAX
+    if x <= _I32_MIN:
+        return _I32_MIN
+    return int(x)
 
 
 def compute_body_font_size(lines: list[list[TextSpan]]) -> float:
@@ -80,7 +99,7 @@ def compute_body_font_size(lines: list[list[TextSpan]]) -> float:
             fs = span.font_size
             key = get_key(fs)
             if key is None:
-                key = keys[fs] = int(_rust_round(fs * 2.0))
+                key = keys[fs] = _as_i32(_rust_round(fs * 2.0))
             freq[key] = get_freq(key, 0) + len(span.text)
     if not freq:
         return 12.0

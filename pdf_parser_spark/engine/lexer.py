@@ -108,8 +108,19 @@ class Lexer:
         if m is not None:
             g = m.lastgroup
             if g == "int":
+                v = int(m.group("int"))
+                # the reference parses i64 (lexer.rs:183): out-of-range
+                # integers are a parse ERROR there, not a value —
+                # Python's unbounded int() must reject the same range
+                # with the same message
+                if not (-(2**63) <= v < 2**63):
+                    raise ParseError(
+                        m.start("int"),
+                        "Invalid integer: "
+                        + m.group("int").decode("latin-1"),
+                    )
                 self.pos = m.end()
-                return ("int", int(m.group("int")))
+                return ("int", v)
             if g == "name":
                 self.pos = m.end()
                 raw = m.group("name")

@@ -63,6 +63,15 @@ _DICT_ENTRY_RE = _re.compile(
     + rb")"
 )
 _NUM_RE = _re.compile(_LEXNUM)
+_COMMENT_RE = _re.compile(rb"%[^\r\n]*")
+
+_I64_MAX = 2**63  # exclusive bound; fast-path ints are non-negative
+
+
+class _TokenPath(Exception):
+    """Internal: a fast-path value the lexer would REJECT (i64
+    overflow) — re-parse through the token path so the error message
+    and position match the reference exactly."""
 # pair extraction for an all-reference array value (e.g. /Kids):
 # matched AFTER vrefs already validated the shape, so bare groups
 _REF_PAIR_RE = _re.compile(
@@ -128,8 +137,10 @@ class Parser:
         if not self.peeked:
             m = _GEN_REF_RE.match(self.lexer.data, self.lexer.pos)
             if m is not None:
-                self.lexer.pos = m.end()
-                return Ref(first & 0xFFFFFFFF, int(m.group(1)) & 0xFFFF)
+                gen = int(m.group(1))
+                if gen < _I64_MAX:  # else: token path raises like the lexer
+                    self.lexer.pos = m.end()
+                    return Ref(first & 0xFFFFFFFF, gen & 0xFFFF)
         tok2 = self._next_token()
         if tok2 is None:
             return first
@@ -176,28 +187,51 @@ class Parser:
                         if vn is not None:
                             value = Name(vn.decode("utf-8"))
                         elif vo is not None:
-                            value = Ref(
-                                int(vo) & 0xFFFFFFFF, int(vg) & 0xFFFF
-                            )
+                            no, ng = int(vo), int(vg)
+                            if no >= _I64_MAX or ng >= _I64_MAX:
+                                raise _TokenPath  # lexer rejects i64 overflow
+                            value = Ref(no & 0xFFFFFFFF, ng & 0xFFFF)
                         elif vnum is not None:
-                            value = (
-                                float(vnum)
-                                if b"." in vnum
-                                else int(vnum)
-                            )
+                            if b"." in vnum:
+                                value = float(vnum)
+                            else:
+                                value = int(vnum)
+                                if abs(value) >= _I64_MAX:
+                                    raise _TokenPath
                         elif vrefs is not None:
                             # all-reference array (/Kids, /Contents)
-                            value = [
-                                Ref(int(n) & 0xFFFFFFFF, int(g) & 0xFFFF)
+                            pairs = [
+                                (int(n), int(g))
                                 for n, g in _REF_PAIR_RE.findall(vrefs)
                             ]
+                            if any(
+                                n >= _I64_MAX or g >= _I64_MAX
+                                for n, g in pairs
+                            ):
+                                raise _TokenPath
+                            value = [
+                                Ref(n & 0xFFFFFFFF, g & 0xFFFF)
+                                for n, g in pairs
+                            ]
                         else:
+                            # the _WSC between numbers folds %-comments
+                            # into the capture; strip them before the
+                            # bare-number findall or a comment like
+                            # '%c 2' injects phantom array elements
+                            if b"%" in varr:
+                                varr = _COMMENT_RE.sub(b"", varr)
                             value = [
                                 float(t) if b"." in t else int(t)
                                 for t in _NUM_RE.findall(varr)
                             ]
-                    except UnicodeDecodeError:
-                        pass  # exotic name bytes: token path raises
+                            if any(
+                                isinstance(t, int) and abs(t) >= _I64_MAX
+                                for t in value
+                            ):
+                                raise _TokenPath
+                    except (UnicodeDecodeError, _TokenPath):
+                        pass  # exotic name bytes / i64 overflow:
+                        # token path parses (and raises) identically
                     else:
                         d[key] = value
                         lexer.pos = m.end()

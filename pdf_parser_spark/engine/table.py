@@ -119,15 +119,17 @@ def detect_columns(rows: list[list[TextSpan]]) -> list[float]:
 
 def assign_to_columns(rows: list[list[TextSpan]], columns: list[float]) -> list[list[str]]:
     """Nearest-column assignment; multiple spans in a cell join with a
-    space (table.rs:196-227).  Rust's ``min_by`` keeps the LAST minimal
-    element on ties, hence the ``-i`` tie-breaker."""
+    space (table.rs:196-227).  Rust's ``Iterator::min_by`` keeps the
+    FIRST minimal element on ties (only max_by keeps the last), and so
+    does Python's ``min`` — an equidistant span goes to the LEFT
+    column on both engines."""
     num_cols = len(columns)
     grid = []
     for row in rows:
         cells = [""] * num_cols
         for span in row:
             col_idx = min(
-                range(num_cols), key=lambda i: (abs(span.x - columns[i]), -i)
+                range(num_cols), key=lambda i: abs(span.x - columns[i])
             )
             if cells[col_idx]:
                 cells[col_idx] += " "

@@ -118,3 +118,19 @@ def test_extract_all_formats_matches_per_format_functions():
             assert got == expect, (cid, fmt)
             n += 1
     assert n >= 7 * 25
+
+
+def test_unknown_format_renders_csv_like_cli_wildcard():
+    """The reference CLI's wildcard match arm falls back to CSV
+    (main.rs:141) — and extract_document must produce a row, never a
+    KeyError that kills the executor task."""
+    from fixtures.gen import case_table_page
+    from pdf_parser_spark.engine import extract_document
+    from pdf_parser_spark.engine.api import pdf_to_csv
+
+    data = case_table_page()
+    r = extract_document(data, fmt="bogus")
+    assert r["error_kind"] is None
+    assert r["text"] == pdf_to_csv(data)
+    r2 = extract_document(data, fmt="bogus", page=1)
+    assert r2["text"] == pdf_to_csv(data)

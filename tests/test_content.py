@@ -241,3 +241,18 @@ def test_line_batch_run_survives_float_rejecting_tail():
         ("c", -2.0),
         ("ab", 12.0),
     ]
+
+
+def test_merge_fast_path_gates_on_both_font_sizes():
+    """A big-font span following a small-font one within the big
+    font's 0.3*fs y-tolerance must take the full sort+merge path (the
+    comparator's tolerance is the LATER span's font size)."""
+    from pdf_parser_spark.engine.content import ContentParser, TextSpan
+
+    p = ContentParser(b"", {})
+    p.spans = [
+        TextSpan("x", 50.0, 100.0, 10.0, "F"),
+        TextSpan("y", 0.0, 90.0, 40.0, "F"),
+    ]
+    out = p._merge_adjacent_spans()
+    assert [(s.text, s.x, s.y) for s in out] == [("yx", 0.0, 90.0)]

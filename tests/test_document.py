@@ -88,3 +88,49 @@ def test_simple_text_extractor_fixed_tolerance(corpus):
     doc = Document.parse(corpus["table-page"])
     txt = doc.extract_page_text_string(0)
     assert txt.splitlines()[0] == "Date Description Amount Balance"
+
+
+def test_xref_entry_bounds_match_reference_types():
+    """Entry fields are usize/u16 in the reference: generation 99999
+    (> u16::MAX) or a negative offset must make the document error,
+    not extract."""
+    from fixtures.gen import case_min_uncompressed
+    from pdf_parser_spark.engine import extract_document
+
+    base = case_min_uncompressed()
+    bad_gen = base.replace(b" 00000 n \n", b" 99999 n \n", 1)
+    assert bad_gen != base
+    assert extract_document(bad_gen)["error_kind"] is not None
+
+    # rewrite the first entry's 10-digit offset as negative
+    import re
+
+    m = re.search(rb"\n(\d{10}) 00000 n \n", base)
+    assert m
+    neg = base[: m.start(1)] + b"-000000017" + base[m.end(1):]
+    assert extract_document(neg)["error_kind"] is not None
+
+
+def test_negative_startxref_is_invalid():
+    from fixtures.gen import case_min_uncompressed
+    from pdf_parser_spark.engine import extract_document
+
+    import re
+
+    base = case_min_uncompressed()
+    doc = re.sub(rb"startxref\n\d+\n", b"startxref\n-10\n", base)
+    assert doc != base
+    r = extract_document(doc)
+    assert r["error_kind"] is not None
+
+
+def test_negative_page_index_errors():
+    import pytest
+
+    from fixtures.gen import case_multipage_nested
+    from pdf_parser_spark.engine.document import Document
+    from pdf_parser_spark.engine.errors import InvalidStructure
+
+    d = Document.parse(case_multipage_nested())
+    with pytest.raises(InvalidStructure):
+        d.get_page(-1)

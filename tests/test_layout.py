@@ -129,3 +129,17 @@ def test_tied_body_font_larger_key_wins():
     # equal char weight at 10pt and 12pt → 12 (Rust max_by_key keeps last)
     lines = [[span("aaaa", 0.0, 100.0, 10.0)], [span("bbbb", 0.0, 80.0, 12.0)]]
     assert compute_body_font_size(lines) == 12.0
+
+
+def test_body_font_size_saturates_like_rust_cast():
+    """A 400-digit Tf size parses to +inf; the 0.5pt quantization must
+    saturate like Rust's `as i32`, not raise OverflowError."""
+    from pdf_parser_spark.engine.content import TextSpan
+    from pdf_parser_spark.engine.layout import compute_body_font_size
+
+    inf = float("inf")
+    lines = [[TextSpan("Hi", 10.0, 700.0, inf, "F1")]]
+    assert compute_body_font_size(lines) == (2**31 - 1) / 2.0
+    nan = float("nan")
+    lines = [[TextSpan("Hi", 10.0, 700.0, nan, "F1")]]
+    assert compute_body_font_size(lines) == 0.0

@@ -136,3 +136,29 @@ def test_dict_fast_path_atomic_names():
         Parser(b"<< /K1.5 >>").parse_object()
     with pytest.raises(ParseError):
         Parser(b"<< /K0 65537 R >>").parse_object()
+
+
+def test_numeric_array_fast_path_ignores_comment_digits():
+    v = Parser(b"<< /Widths [1 %c 2\n3] >>").parse_object()
+    assert v == {"Widths": [1, 3]}
+
+
+def test_i64_overflow_matches_reference():
+    """Integers >= 2^63 are a parse ERROR in the reference (i64);
+    Python's unbounded int() must reject the same range everywhere —
+    lexer, dict fast path, ref fast paths."""
+    import pytest
+
+    from pdf_parser_spark.engine.errors import ParseError
+
+    big = b"9223372036854775808"  # 2^63
+    with pytest.raises(ParseError, match="Invalid integer"):
+        Parser(big).parse_object()
+    with pytest.raises(ParseError, match="Invalid integer"):
+        Parser(b"<< /N " + big + b" >>").parse_object()
+    with pytest.raises(ParseError, match="Invalid integer"):
+        Parser(b"<< /R 1 " + big + b" R >>").parse_object()
+    with pytest.raises(ParseError, match="Invalid integer"):
+        Parser(b"<< /A [" + big + b"] >>").parse_object()
+    # i64-max itself is fine
+    assert Parser(b"9223372036854775807").parse_object() == 2**63 - 1

@@ -83,3 +83,14 @@ def test_empty_spans_filtered():
 def test_csv_quote_doubling():
     t = Table(rows=[['say "hi"', "b"]], num_columns=2)
     assert t.to_csv() == '"say ""hi""",b'
+
+
+def test_equidistant_span_goes_to_first_column():
+    """Rust's Iterator::min_by keeps the FIRST minimal element on
+    ties — an equidistant span lands in the LEFT column."""
+    from pdf_parser_spark.engine.content import TextSpan
+    from pdf_parser_spark.engine.table import assign_to_columns
+
+    rows = [[TextSpan("T", 10.0, 700.0, 10.0, "F")]]
+    grid = assign_to_columns(rows, [0.0, 20.0])
+    assert grid == [["T", ""]]
