@@ -148,7 +148,8 @@ WITH vlong AS (
                             ORDER BY dist ASC, cluster_id ASC) AS rn
   FROM dist_{final}
 )
-SELECT vec_id, cluster_id, dist FROM best_{final} WHERE rn = 1
+SELECT vec_id, cluster_id, CAST(dist AS BIGINT) AS dist
+FROM best_{final} WHERE rn = 1
 """
     return sql
 

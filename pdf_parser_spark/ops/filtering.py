@@ -322,7 +322,7 @@ cum AS (
          sum(cnt) OVER (PARTITION BY lang) AS n_docs
   FROM freq
 )
-SELECT lang, max(n_docs) AS n_docs,
+SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
        {_PCT_COLS_SQL}
 FROM cum
 GROUP BY lang

@@ -95,7 +95,7 @@ WITH fact AS (
 )
 SELECT f.page_key,
        count(*) AS n_events,
-       sum(f.cents) AS cents,
+       CAST(sum(f.cents) AS BIGINT) AS cents,
        min(d.dim_docs) AS dim_docs,
        min(d.dim_chars) AS dim_chars
 FROM fact f JOIN dim d USING (page_key)

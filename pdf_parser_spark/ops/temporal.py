@@ -102,9 +102,9 @@ WITH flagged AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
   FROM flagged
 )
-SELECT user_id, session_idx,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        count(*) AS n_events,
-       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
        min(epoch_us(ts)) AS start_us,
        max(epoch_us(ts)) AS end_us,
        count(DISTINCT event_type) AS n_types
@@ -219,7 +219,7 @@ JSON_FIELD_STATS_SQL = """
 SELECT event_type,
        count(*) AS n,
        count(k) AS n_with_k,
-       sum(k) AS k_sum,
+       CAST(sum(k) AS BIGINT) AS k_sum,
        min(k) AS k_min,
        max(k) AS k_max
 FROM (SELECT event_type,
