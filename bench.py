@@ -192,22 +192,25 @@ def ensure_corpus(spark, scale: int) -> str:
     return path
 
 
-def run_extraction(spark, corpus_path: str, with_lineage: bool = True) -> dict:
+def run_extraction(
+    spark, corpus_path: str, with_lineage: bool = True, passes: int = 2
+) -> dict:
     """Time the full extraction job (skew-routed, spans, lineage agg).
 
     ``with_lineage=False`` skips the separately-timed lineage pass —
     the scaling legs repeat extraction many times and only need the
-    extraction wall time."""
+    extraction wall time.  ``passes`` controls how many timed passes
+    run; ``wall_s`` is the best and ``walls_s`` keeps every pass so a
+    cold first pass stays visible (r2 ADVICE: cold vs warm must be
+    separable, not silently folded into a best-of)."""
     from pyspark.sql import functions as F
 
     from pdf_parser_spark.spark.job import lineage, run_extract
 
     pages = spark.read.parquet(corpus_path)
     n_docs = pages.count()
-    # best-of-2: the sandbox VM has bursty steal-time noise; the min
-    # is the honest compute cost (first run also pays worker imports)
-    wall = float("inf")
-    for _ in range(2):
+    walls = []
+    for _ in range(passes):
         t0 = time.time()
         extracted = run_extract(pages, fmt="txt", threshold=100_000)
         agg = extracted.select(
@@ -217,10 +220,12 @@ def run_extraction(spark, corpus_path: str, with_lineage: bool = True) -> dict:
                 "errs"
             ),
         ).collect()[0]
-        wall = min(wall, time.time() - t0)
+        walls.append(time.time() - t0)
+    wall = min(walls)
     out = {
         "docs": n_docs,
         "wall_s": round(wall, 3),
+        "walls_s": [round(w, 3) for w in walls],
         "docs_per_sec": round(n_docs / wall, 2),
         "chars": int(agg["chars"]),
         "decode_errors": int(agg["errs"]),
@@ -404,35 +409,67 @@ def main():
 
     spark = build_session(f"local[{cpus}]", shuffle=32)
     corpus = ensure_corpus(spark, scale)
-    # best-of-2: the first pass also warms page cache / JIT / worker
-    # pool, so the second is the steady-state number unless a steal
-    # burst hits it — best-of keeps whichever escaped the burst.  The
-    # warm pass runs BEFORE t_total0 so the headline total stays
-    # one-extraction-pass-comparable with earlier rounds.
-    ex = run_extraction(spark, corpus)
+    # Cold/warm split (r2 ADVICE): the first pass of the process pays
+    # worker imports, JIT and page-cache fill — report it as its own
+    # field instead of folding it into a best-of.  The headline
+    # (extract_docs_per_sec = warm best-of-2) stays on r2's
+    # methodology; _cold is the r1-comparable single cold pass.
+    ex_cold = run_extraction(spark, corpus, with_lineage=True, passes=1)
     t_total0 = time.time()
-    ex2 = run_extraction(spark, corpus)
-    if ex2["docs_per_sec"] > ex["docs_per_sec"]:
-        ex = ex2
+    ex = run_extraction(spark, corpus, with_lineage=False, passes=2)
     queries = {"extract_pages": ex["wall_s"]}
-    queries.update(run_ops(spark, args.sf_dir))
+    op_times = run_ops(spark, args.sf_dir)
     total = round(time.time() - t_total0, 3)
     probe_after = host_probe()
     spark.stop()
+
+    queries.update(
+        {k: v for k, v in op_times.items() if not k.endswith("_rows")}
+    )
+    # Full detail (row counts, probe dicts, lineage, per-pass walls)
+    # goes to a file + an EARLY stdout line; the driver's tail capture
+    # only reliably keeps the LAST ~2 KB, which round 2 proved by
+    # truncating the giant single-line JSON into unparseability.
+    detail = {
+        "rows": {
+            k[: -len("_rows")]: v
+            for k, v in op_times.items()
+            if k.endswith("_rows")
+        },
+        "extract_cold": ex_cold,
+        "extract_warm": ex,
+        "host_probe": probe,
+        "host_probe_after": probe_after,
+        "sf": sf,
+    }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail, separators=(",", ":")))
 
     out = {
         "metric": "extraction + corpus-ops wall time",
         "value": total,
         "unit": "sec",
-        "queries": queries,
+        "queries": {k: v for k, v in sorted(queries.items())},
         "sf": sf,
         "extract_docs": ex["docs"],
         "extract_docs_per_sec": ex["docs_per_sec"],
+        "extract_docs_per_sec_cold": ex_cold["docs_per_sec"],
+        "extract_docs_per_sec_warm": ex["docs_per_sec"],
         "extract_decode_errors": ex["decode_errors"],
-        "host_probe": probe,
-        "host_probe_after": probe_after,
+        "host_capacity": probe["parallel_capacity_frac"],
+        "host_capacity_after": probe_after["parallel_capacity_frac"],
     }
-    print(json.dumps(out))
+    line = json.dumps(out, separators=(",", ":"))
+    # hard guard on the driver's tail-capture budget
+    if len(line) > 1900:
+        slim = dict(out)
+        slim["queries"] = {
+            k: v for k, v in out["queries"].items() if v >= 0.1
+        }
+        slim["queries_note"] = "sub-0.1s queries in BENCH_DETAIL.json"
+        line = json.dumps(slim, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

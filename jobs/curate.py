@@ -161,11 +161,21 @@ def main() -> None:
     spark = build_session("pdf-parser-spark-curate", master=args.master)
     extracted = spark.read.parquet(args.input)
     curated, funnel = curate(extracted)
-    curated.drop("_n_tok").write.mode("overwrite").parquet(f"{args.output}/data")
+    # The parquet write is the ONLY action served by the stage-4 cache
+    # (r2 ADVICE: a cache eviction between two dependent actions would
+    # recompute the whole funnel, LSH joins included).  The token count
+    # ships in the output as `n_tokens` — a useful lineage column — so
+    # the composition aggregate reads the WRITTEN table back instead of
+    # re-traversing the funnel.
+    curated.withColumnRenamed("_n_tok", "n_tokens").write.mode(
+        "overwrite"
+    ).parquet(f"{args.output}/data")
+    curated.unpersist()
     comp = [
         r.asDict()
-        for r in curated.groupBy("doc_type")
-        .agg(F.count(F.lit(1)).alias("rows"), F.sum("_n_tok").alias("tokens"))
+        for r in spark.read.parquet(f"{args.output}/data")
+        .groupBy("doc_type")
+        .agg(F.count(F.lit(1)).alias("rows"), F.sum("n_tokens").alias("tokens"))
         .collect()
     ]
     report = {"funnel": funnel, "composition": comp}

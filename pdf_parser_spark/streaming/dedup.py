@@ -146,6 +146,15 @@ def stream_dedup(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out_dir = f"{output_path}/verdicts/batch_id={batch_id}"
         if _committed(batch_df.sparkSession, out_dir):
+            # Replay of an already-committed batch (crash landed between
+            # the sink's _SUCCESS and the checkpoint commit).  The sink
+            # must not be rewritten, but the stateful operator MUST
+            # still execute: in foreachBatch, state only commits when
+            # the batch plan actually runs, so returning without an
+            # action could permanently drop this batch's seen-hash
+            # admissions and re-admit those hashes in a later batch.
+            # A noop-sink write forces full execution at zero I/O.
+            batch_df.write.format("noop").mode("overwrite").save()
             return
         batch_df.write.mode("overwrite").parquet(out_dir)
 

@@ -171,6 +171,10 @@ def stream_sessionize(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out_dir = f"{output_path}/sessions/batch_id={batch_id}"
         if _committed(batch_df.sparkSession, out_dir):
+            # replayed committed batch: still execute the stateful plan
+            # (noop sink) so the state store commits this batch's
+            # session state — skipping execution could drop it forever
+            batch_df.write.format("noop").mode("overwrite").save()
             return
         batch_df.write.mode("overwrite").parquet(out_dir)
 

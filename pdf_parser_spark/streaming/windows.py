@@ -83,6 +83,9 @@ def stream_window_counts(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out_dir = f"{output_path}/windows/batch_id={batch_id}"
         if _committed(batch_df.sparkSession, out_dir):
+            # replayed committed batch: still execute the watermarked
+            # aggregation (noop sink) so window/watermark state commits
+            batch_df.write.format("noop").mode("overwrite").save()
             return
         batch_df.write.mode("overwrite").parquet(out_dir)
 
