@@ -50,6 +50,15 @@ _OBJ_HDR_RE = _re.compile(
     + _WSC + rb"obj(?![A-Za-z])"
 )
 
+# Strict spec-form classic-xref entry (see parse_traditional_xref):
+# fixed-width fields + the standard 2-byte EOL forms.  The EOL
+# alternation consumes exactly what _find_eol + _skip_eol would
+# (longest first so ' \r\n' is not split); off-form lines fall back
+# to the general per-line path.
+_XREF_ENTRY_STRICT_RE = _re.compile(
+    rb"([0-9]{10}) ([0-9]{5}) [nf](?: \r\n| \r| \n|\r\n|\r|\n)"
+)
+
 
 class XRefEntry:
     """(document.rs:12-19) — ``compressed`` means offset is an ObjStm
@@ -478,7 +487,23 @@ def parse_traditional_xref(data: bytes, offset: int, xref: dict) -> None:
             raise InvalidXref("invalid xref subsection header")
 
         pos = _skip_eol(data, eol)
+        strict = _XREF_ENTRY_STRICT_RE.match
         for i in range(count):
+            # fast path: the spec's fixed-width 20-byte entry (10-digit
+            # offset, 5-digit generation, n/f, 2-byte EOL).  Consumes
+            # exactly the bytes the general find-EOL path would (the
+            # EOL alternation mirrors _find_eol + _skip_eol, longest
+            # first); any off-form line falls back per entry.
+            m = strict(data, pos)
+            if m is not None:
+                generation = int(m.group(2))
+                if generation <= 0xFFFF:
+                    if data[pos + 17] == 0x6E:  # 'n'
+                        xref[start_obj + i] = XRefEntry(
+                            int(m.group(1)), generation, True, False
+                        )
+                    pos = m.end()
+                    continue
             entry_end = _find_eol(data, pos)
             if entry_end <= pos:
                 raise InvalidXref("truncated xref entry")

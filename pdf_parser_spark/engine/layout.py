@@ -50,6 +50,13 @@ _TABLE_CANDIDATE = "table_candidate"
 
 def classify_spans(spans: list[TextSpan]) -> list[PageElement]:
     """Whole-page classification pipeline (layout.rs:13-41)."""
+    fast = _classify_uniform_fast(spans)
+    if fast is not None:
+        return fast
+    return _classify_full(spans)
+
+
+def _classify_full(spans: list[TextSpan]) -> list[PageElement]:
     spans = [s for s in spans if s.text.strip(RUST_WS)]
     if not spans:
         return []
@@ -59,6 +66,65 @@ def classify_spans(spans: list[TextSpan]) -> list[PageElement]:
     body_font_size = compute_body_font_size(lines)
     classified = [_classify_line(line, body_font_size) for line in lines]
     return _merge_lines(classified, body_font_size)
+
+
+def _classify_uniform_fast(spans: list[TextSpan]) -> list[PageElement] | None:
+    """O(n) single-pass fast path for the overwhelmingly common page
+    shape: ONE positive font size everywhere and spans already in
+    strictly descending y order with inter-line gaps above the row
+    tolerance (i.e. one span per visual line, reading order).
+
+    Under those preconditions the full pipeline's result is forced:
+    every row is a singleton (greedy clustering can never join two
+    spans whose gap exceeds the tolerance), the body font is the one
+    quantized size (the mode over a single key), the heading ratio is
+    fs/quant(fs) — checked < 1.3 here, else fall back — and a single
+    span per line means one x-cluster, so every line classifies as a
+    paragraph and only the 1.5 × body y-gap paragraph-break rule
+    remains.  Any precondition failure returns None and the caller
+    runs the full (semantics-defining) pipeline; equivalence is pinned
+    by the differential test in tests/test_layout.py.
+    """
+    if not spans:
+        return []
+    fs = spans[0].font_size
+    if not (fs > 0.0):
+        return None
+    tol = fs * 0.5
+    body = _as_i32(_rust_round(fs * 2.0)) / 2.0
+    if body <= 0.0 or fs / body >= 1.3:
+        return None
+    texts: list[str] = []
+    ys: list[float] = []
+    prev_y = None
+    for s in spans:
+        if s.font_size != fs:
+            return None
+        t = s.text.strip(RUST_WS)
+        if not t:
+            continue  # whitespace-only spans are filtered pre-clustering
+        y = s.y
+        if prev_y is not None and not (prev_y - y > tol):
+            return None
+        prev_y = y
+        texts.append(t)
+        ys.append(y)
+    if not texts:
+        return []
+    gap = body * 1.5
+    elements: list[PageElement] = []
+    parts = [texts[0]]
+    prev_y = ys[0]
+    for i in range(1, len(texts)):
+        ly = ys[i]
+        if abs(prev_y - ly) > gap:
+            elements.append(PageElement(PARAGRAPH, text=" ".join(parts)))
+            parts = [texts[i]]
+        else:
+            parts.append(texts[i])
+        prev_y = ly
+    elements.append(PageElement(PARAGRAPH, text=" ".join(parts)))
+    return elements
 
 
 def _rust_round(x: float) -> float:

@@ -64,6 +64,13 @@ _DICT_ENTRY_RE = _re.compile(
 )
 _NUM_RE = _re.compile(_LEXNUM)
 _COMMENT_RE = _re.compile(rb"%[^\r\n]*")
+# dict close / post-dict keyword probes (fast paths in
+# _parse_dict_or_stream); keyword boundary mirrors the lexer's
+# maximal alpha run
+_DICT_END_RE = _re.compile(_WSC + rb">>")
+_STREAM_KW_RE = _re.compile(
+    _WSC + rb"(?:(stream)|endobj)(?![A-Za-z])"
+)
 
 _I64_MAX = 2**63  # exclusive bound; fast-path ints are non-negative
 
@@ -179,9 +186,10 @@ class Parser:
             if not self.peeked:
                 m = entry(lexer.data, lexer.pos)
                 if m is not None:
-                    k, vn, vo, vg, vnum, varr, vrefs = m.group(
-                        "k", "vn", "vo", "vg", "vnum", "varr", "vrefs"
-                    )
+                    # positional unpack: the pattern has exactly these
+                    # 7 capture groups in order (7 named lookups cost
+                    # ~3x one groups() call on hot page/font dicts)
+                    k, vn, vo, vg, vnum, varr, vrefs = m.groups()
                     try:
                         key = k.decode("utf-8")
                         if vn is not None:
@@ -236,6 +244,10 @@ class Parser:
                         d[key] = value
                         lexer.pos = m.end()
                         continue
+                m = _DICT_END_RE.match(lexer.data, lexer.pos)
+                if m is not None:
+                    lexer.pos = m.end()
+                    break
             tok = self._next_token()
             if tok is None:
                 raise ParseError(self.position, "Unterminated dictionary")
@@ -251,7 +263,19 @@ class Parser:
                 raise ParseError(self.position, "Missing dictionary value")
             d[key] = value
 
-        # dict vs stream: look one token ahead, rewind if not a stream
+        # dict vs stream: look one token ahead, rewind if not a stream.
+        # Fast probes for the two overwhelmingly common next tokens
+        # ('stream' / 'endobj') skip the token round-trip; keyword
+        # boundaries mirror the lexer's maximal alpha run.  Any other
+        # shape takes the token path with identical error behavior.
+        if not self.peeked:
+            m = _STREAM_KW_RE.match(self.lexer.data, self.lexer.pos)
+            if m is not None:
+                if m.group(1) is not None:  # 'stream'
+                    self.lexer.pos = m.end()
+                    data = self._read_stream_data(d)
+                    return Stream(d, data)
+                return d  # 'endobj': plain dict, position unchanged
         pos_after_dict = self.lexer.pos
         tok = self._next_token()
         if tok is not None and tok[0] == "stream":

@@ -143,3 +143,51 @@ def test_body_font_size_saturates_like_rust_cast():
     nan = float("nan")
     lines = [[TextSpan("Hi", 10.0, 700.0, nan, "F1")]]
     assert compute_body_font_size(lines) == 0.0
+
+
+def test_uniform_fast_path_matches_full_pipeline():
+    """The O(n) uniform-font fast path (layout.py _classify_uniform_fast)
+    must be output-identical to the full clustering pipeline whenever it
+    engages — randomized differential over uniform/mixed fonts, shuffled
+    orders, whitespace-only spans, tiny/negative/NaN sizes."""
+    import random
+
+    from pdf_parser_spark.engine.layout import (
+        _classify_full,
+        _classify_uniform_fast,
+    )
+
+    def norm(els):
+        return [
+            (
+                e.kind,
+                e.level,
+                e.text,
+                None if e.table is None else [
+                    [c for c in row] for row in e.table.rows
+                ],
+            )
+            for e in els
+        ]
+
+    rng = random.Random(1234)
+    engaged = 0
+    for _ in range(2500):
+        n = rng.randint(0, 12)
+        uniform = rng.random() < 0.5
+        fs0 = rng.choice([12.0, 8.5, 0.7, 24.0, 0.2, float("nan")])
+        spans, y = [], 700.0
+        for _i in range(n):
+            fs = fs0 if uniform else rng.choice([12.0, 14.0, 24.0, 6.0])
+            y -= rng.choice([3.0, 7.0, 16.0, 30.0, 0.0])
+            x = rng.choice([72.0, 85.0, 200.0, 350.0, 470.0])
+            t = rng.choice(["hello world", " ", "", "A", "  padded  "])
+            spans.append(span(t, x, y, fs))
+        if rng.random() < 0.2:
+            rng.shuffle(spans)
+        fast = _classify_uniform_fast(spans)
+        if fast is None:
+            continue
+        engaged += 1
+        assert norm(fast) == norm(_classify_full(spans))
+    assert engaged > 200  # the fast path must actually engage
