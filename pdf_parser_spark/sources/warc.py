@@ -8,6 +8,14 @@ engine needs a WARC → pages-table ingest path.  Spark-first design:
 * ``spark.read.format("binaryFile")`` lists and reads whole WARC
   files — files are the parallel unit (a WARC member is not
   split-able mid-record), exactly how Common Crawl ships segments.
+* **Size-classed routing** mirrors ``spark.job.run_extract``: the
+  binaryFile scan bin-packs small files per task, but one multi-GB
+  archive in a packed partition is the skew unit at 100 TB.  Files
+  above ``heavy_bytes`` are routed to their own repartitioned pass
+  (≈ one file per task) BEFORE the fan-out UDF, so a giant archive
+  never straggles a partition of small ones.  The routing predicate
+  uses the scan's ``length`` metadata column — no bytes are read to
+  classify.
 * ``mapInPandas`` splits each archive into page rows — Arrow-batched,
   one Python call per batch of files, never per record.
 * The parser is a small pure-Python record scanner (header block +
@@ -16,10 +24,15 @@ engine needs a WARC → pages-table ingest path.  Spark-first design:
   (``.warc.gz`` multistream) are handled via ``zlib`` with the gzip
   wbits — C speed, same as the engine's FlateDecode path.
 
-Only ``response``/``resource`` records become rows; ``warcinfo``/
-``request``/``metadata`` records are skipped.  Parse problems are
-row-level (a bad record ends that FILE's scan, never the task),
-mirroring the extraction job's error-column discipline.
+Only ``response``/``resource`` records become page rows; ``warcinfo``/
+``request``/``metadata`` records are skipped.  **Malformed records are
+row-level data, never task failures**: each framing error emits a
+``warc_error`` row (kind + byte offset + source file) and the scanner
+resyncs to the next ``WARC/`` magic, so one torn record costs one
+record, not the rest of a multi-GB archive.  ``warc_lineage``
+aggregates per-file record/page/error tallies — the same
+error-column-then-groupBy discipline as the extraction job
+(spark/job.py lineage()).
 """
 
 from __future__ import annotations
@@ -31,6 +44,16 @@ import pandas as pd
 
 CRLF = b"\r\n"
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+# file-size boundary between the bin-packed and one-file-per-task
+# ingest classes (compressed bytes; a 64 MiB .warc.gz is ~250 MiB of
+# records — minutes of scan work next to KB-scale peers)
+DEFAULT_HEAVY_WARC_BYTES = 64 << 20
+
+RAW_SCHEMA = (
+    "url string, warc_ts_us long, html binary, text string, lang string, "
+    "src_file string, rec_idx int, warc_error string"
+)
 
 
 def _gunzip_members(data: bytes) -> bytes:
@@ -46,28 +69,65 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
-def parse_warc(data: bytes) -> list[dict]:
-    """Scan WARC records: list of ``{headers: dict, body: bytes}``.
+def _resync(data: bytes, pos: int) -> int:
+    """Next plausible record start at/after ``pos``; -1 when none.
+
+    A record start is the ``WARC/`` magic at the top of the buffer or
+    right after a CRLF — a bare ``find`` would bite on the string
+    ``WARC/`` inside a record body.
+    """
+    n = len(data)
+    while True:
+        hit = data.find(b"WARC/", pos)
+        if hit < 0:
+            return -1
+        if hit == 0 or data[hit - 2 : hit] == CRLF:
+            return hit
+        pos = hit + 5
+        if pos >= n:
+            return -1
+
+
+def parse_warc(data: bytes) -> tuple[list[dict], list[dict]]:
+    """Scan WARC records: ``(records, errors)``.
+
+    ``records``: ``{headers: dict, body: bytes}`` per well-formed
+    record.  ``errors``: ``{kind, offset}`` per framing fault —
+    ``bad_magic`` (bytes where a version line should be),
+    ``no_header_end`` (no blank line terminating the header block),
+    ``bad_length`` (missing/non-integer Content-Length),
+    ``truncated_body`` (fewer body bytes than declared).  After any
+    fault the scanner resyncs to the next line-initial ``WARC/``
+    magic; faults at the true tail (no further record) consume the
+    rest of the buffer.
 
     Framing per ISO 28500: ``WARC/1.x`` version line, header lines to
     a blank line, exactly ``Content-Length`` body bytes, then two
     CRLFs before the next record.
     """
     data = _gunzip_members(data)
-    records = []
+    records: list[dict] = []
+    errors: list[dict] = []
+
+    def fault(kind: str, at: int) -> int:
+        errors.append({"kind": kind, "offset": at})
+        return _resync(data, at + 1)
+
     pos = 0
     n = len(data)
-    while pos < n:
+    while 0 <= pos < n:
         # tolerate inter-record padding
         while pos < n and data[pos : pos + 2] == CRLF:
             pos += 2
         if pos >= n:
             break
         if not data[pos : pos + 5] == b"WARC/":
-            break  # malformed tail: stop scanning this file
+            pos = fault("bad_magic", pos)
+            continue
         head_end = data.find(CRLF + CRLF, pos)
         if head_end < 0:
-            break
+            pos = fault("no_header_end", pos)
+            continue
         headers = {}
         lines = data[pos:head_end].split(CRLF)
         for line in lines[1:]:
@@ -79,14 +139,16 @@ def parse_warc(data: bytes) -> list[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            break
+            pos = fault("bad_length", head_end)
+            continue
         body_start = head_end + 4
         body = data[body_start : body_start + length]
         if len(body) < length:
-            break
+            pos = fault("truncated_body", body_start)
+            continue
         records.append({"headers": headers, "body": body})
         pos = body_start + length
-    return records
+    return records, errors
 
 
 def _http_body(payload: bytes) -> bytes:
@@ -112,9 +174,20 @@ def _warc_ts_micros(value: str) -> int:
 
 
 def warc_to_page_rows(data: bytes) -> list[tuple[str, int, bytes, str, str]]:
-    """WARC bytes → pages-table rows (response/resource records only)."""
+    """WARC bytes → pages-table rows (response/resource records only).
+    Framing errors are dropped here — use ``warc_to_raw_rows`` for the
+    lineage-carrying form."""
+    records, _errors = parse_warc(data)
+    return [r[:5] for r in _records_to_rows(records, [], "")]
+
+
+def _records_to_rows(records, errors, src):
+    """Records + framing errors → raw rows (page rows carry
+    ``warc_error=None``; each framing fault is its own row with only
+    the error columns populated)."""
     rows = []
-    for rec in parse_warc(data):
+    idx = 0
+    for rec in records:
         h = rec["headers"]
         rtype = h.get("warc-type", "")
         if rtype not in ("response", "resource"):
@@ -122,47 +195,98 @@ def warc_to_page_rows(data: bytes) -> list[tuple[str, int, bytes, str, str]]:
         url = h.get("warc-target-uri", "")
         ts = _warc_ts_micros(h.get("warc-date", ""))
         body = _http_body(rec["body"]) if rtype == "response" else rec["body"]
-        rows.append((url, ts, body, "", ""))
+        rows.append((url, ts, body, "", "", src, idx, None))
+        idx += 1
+    for err in errors:
+        rows.append(
+            ("", 0, None, "", "", src, -1, f"{err['kind']}@{err['offset']}")
+        )
     return rows
 
 
-def read_warc_pages(spark, path):
-    """Read WARC file(s) into a pages DataFrame
-    ``(url, warc_ts, html, text, lang)``.
+def warc_to_raw_rows(data: bytes, src: str = ""):
+    """WARC bytes → rows in ``RAW_SCHEMA`` shape (pages + error rows)."""
+    records, errors = parse_warc(data)
+    return _records_to_rows(records, errors, src)
 
-    Narrow plan: binaryFile scan → mapInPandas fan-out; no shuffle.
-    Feed the result straight to ``spark.job.run_extract``.
+
+def _expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = RAW_SCHEMA.replace(" string", "").replace(" long", "") \
+        .replace(" binary", "").replace(" int", "").split(", ")
+    for pdf in batches:
+        out = []
+        for path, blob in zip(pdf["path"], pdf["content"]):
+            out.extend(warc_to_raw_rows(bytes(blob), str(path)))
+        yield pd.DataFrame(out, columns=cols)
+
+
+def read_warc_raw(spark, path, heavy_bytes: int = DEFAULT_HEAVY_WARC_BYTES):
+    """WARC file(s) → raw rows (pages + per-record error rows), with
+    size-classed file routing.
+
+    Normal files ride the binaryFile scan's bin-packed splits (narrow,
+    no shuffle).  Files larger than ``heavy_bytes`` are repartitioned
+    one-file-per-task before the fan-out — the compressed size is in
+    the scan's ``length`` metadata column, so classification reads no
+    data, and only the heavy class (a tiny fraction of files) pays a
+    shuffle of raw bytes.
     """
+    from pyspark.sql import functions as F
+
     files = (
         spark.read.format("binaryFile")
         .load(path)
+        .select("path", "length", "content")
+    )
+    sc = spark.sparkContext
+    normal = files.filter(F.col("length") <= heavy_bytes).select("path", "content")
+    heavy = (
+        files.filter(F.col("length") > heavy_bytes)
+        .repartition(sc.defaultParallelism, F.xxhash64("path"))
         .select("path", "content")
     )
+    return normal.mapInPandas(_expand, schema=RAW_SCHEMA).unionByName(
+        heavy.mapInPandas(_expand, schema=RAW_SCHEMA)
+    )
 
-    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for blob in pdf["content"]:
-                out.extend(warc_to_page_rows(bytes(blob)))
-            yield pd.DataFrame(
-                out,
-                columns=["url", "warc_ts_us", "html", "text", "lang"],
-            )
 
+def read_warc_pages(spark, path, heavy_bytes: int = DEFAULT_HEAVY_WARC_BYTES):
+    """Read WARC file(s) into a pages DataFrame
+    ``(url, warc_ts, html, text, lang)``.
+
+    Narrow plan: binaryFile scan → mapInPandas fan-out (heavy files
+    routed, see ``read_warc_raw``); error rows are filtered here —
+    run ``warc_lineage`` over ``read_warc_raw`` output when the tally
+    matters.  Feed the result straight to ``spark.job.run_extract``.
+    """
     from pyspark.sql import functions as F
 
-    raw = files.mapInPandas(
-        expand,
-        schema="url string, warc_ts_us long, html binary, text string, lang string",
-    )
+    raw = read_warc_raw(spark, path, heavy_bytes)
     # input_hint shape: warc_ts is a TIMESTAMP (converted JVM-side
     # from the exact epoch-micros the WARC-Date header parses to)
-    return raw.select(
+    return raw.filter(F.col("warc_error").isNull()).select(
         "url",
         F.timestamp_micros("warc_ts_us").alias("warc_ts"),
         "html",
         "text",
         "lang",
+    )
+
+
+def warc_lineage(raw):
+    """Per-source-file ingest lineage over ``read_warc_raw`` output:
+    page counts, torn-record tallies, byte totals.  One real groupBy
+    over metadata-sized data (bytes never shuffle — only the tallies)."""
+    from pyspark.sql import functions as F
+
+    is_err = F.col("warc_error").isNotNull()
+    return raw.groupBy("src_file").agg(
+        F.sum(F.when(~is_err, 1).otherwise(0)).alias("page_rows"),
+        F.sum(F.when(is_err, 1).otherwise(0)).alias("torn_records"),
+        F.sum(F.when(~is_err, F.length("html")).otherwise(0)).alias("payload_bytes"),
+        F.concat_ws(
+            ";", F.array_sort(F.collect_list(F.col("warc_error")))
+        ).alias("errors"),
     )
 
 

@@ -1,5 +1,7 @@
 """WARC source: record framing, gzip members, HTTP-response body
-split, Spark binaryFile → pages-table ingest, end-to-end extraction."""
+split, torn-record resync + error rows, size-classed file routing,
+per-file lineage, Spark binaryFile → pages-table ingest, end-to-end
+extraction."""
 
 import pytest
 
@@ -8,6 +10,7 @@ from pdf_parser_spark.engine import extract_document
 from pdf_parser_spark.sources.warc import (
     parse_warc,
     warc_to_page_rows,
+    warc_to_raw_rows,
     write_warc,
 )
 
@@ -41,7 +44,8 @@ def test_response_record_http_split_and_skips():
         b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
         + payload + b"\r\n\r\n"
     )
-    assert len(parse_warc(blob)) == 2  # warcinfo seen by the scanner
+    records, errors = parse_warc(blob)
+    assert len(records) == 2 and not errors  # warcinfo seen by the scanner
     rows = warc_to_page_rows(blob)  # but only response becomes a row
     assert len(rows) == 1
     url, ts, html, _, _ = rows[0]
@@ -52,12 +56,50 @@ def test_response_record_http_split_and_skips():
 
 def test_malformed_tail_stops_cleanly():
     blob = write_warc(ROWS[:2]) + b"GARBAGE NOT A RECORD"
-    assert len(parse_warc(blob)) == 2
+    records, errors = parse_warc(blob)
+    assert len(records) == 2
+    assert [e["kind"] for e in errors] == ["bad_magic"]
+
+
+def test_torn_record_resyncs_to_next():
+    """One torn record costs one record, not the rest of the archive."""
+    blob = write_warc(ROWS[:4])
+    # corrupt the SECOND member's Content-Length value (bad_length)
+    first_len = len(write_warc(ROWS[:1]))
+    torn = blob[:first_len] + blob[first_len:].replace(
+        b"Content-Length:", b"Content-Length: x", 1
+    )
+    records, errors = parse_warc(torn)
+    urls = [r["headers"]["warc-target-uri"] for r in records]
+    assert urls == [u for u, *_ in (ROWS[0], ROWS[2], ROWS[3])]
+    assert [e["kind"] for e in errors] == ["bad_length"]
+
+    # truncated declared body at the tail
+    short = write_warc(ROWS[:2])[:-20]
+    records, errors = parse_warc(short)
+    assert len(records) == 1
+    assert [e["kind"] for e in errors] == ["truncated_body"]
+
+    # header block never terminates
+    headless = write_warc(ROWS[:1]) + b"WARC/1.0\r\nWARC-Type: response"
+    records, errors = parse_warc(headless)
+    assert len(records) == 1
+    assert [e["kind"] for e in errors] == ["no_header_end"]
+
+
+def test_raw_rows_carry_error_lineage():
+    blob = write_warc(ROWS[:3]) + b"\xde\xad\xbe\xef"
+    rows = warc_to_raw_rows(blob, src="s3://seg/a.warc")
+    pages = [r for r in rows if r[7] is None]
+    errs = [r for r in rows if r[7] is not None]
+    assert len(pages) == 3 and len(errs) == 1
+    assert all(r[5] == "s3://seg/a.warc" for r in rows)
+    assert errs[0][7].startswith("bad_magic@")
 
 
 @pytest.mark.parametrize("compress", [False, True])
 def test_spark_ingest_and_extract(tmp_path, compress):
-    pyspark = pytest.importorskip("pyspark")
+    pytest.importorskip("pyspark")
     from pdf_parser_spark.spark.job import run_extract
     from pdf_parser_spark.spark.session import build_session
     from pdf_parser_spark.sources.warc import read_warc_pages
@@ -76,5 +118,53 @@ def test_spark_ingest_and_extract(tmp_path, compress):
         texts = {r["url"]: r["text_extracted"] for r in extracted.collect()}
         for url, _, data, _, _ in ROWS:
             assert texts[url] == extract_document(data)["text"], url
+    finally:
+        spark.stop()
+
+
+def test_spark_heavy_routing_and_lineage(tmp_path):
+    """Skewed-WARC fixture: a giant archive rides its own repartitioned
+    pass while small peers stay bin-packed, results identical either
+    way, and lineage tallies torn records per source file."""
+    pytest.importorskip("pyspark")
+    from pdf_parser_spark.spark.session import build_session
+    from pdf_parser_spark.sources.warc import (
+        read_warc_pages,
+        read_warc_raw,
+        warc_lineage,
+    )
+
+    spark = build_session("warc-skew", master="local[4]", shuffle_partitions=8)
+    try:
+        # 3 small archives + 1 "giant" (scale-5 corpus, tiny heavy_bytes
+        # so the routing boundary fires without GB fixtures)
+        big_rows = build_pages_rows(5)
+        (tmp_path / "small0.warc").write_bytes(write_warc(ROWS[:4]))
+        (tmp_path / "small1.warc").write_bytes(write_warc(ROWS[4:8]))
+        torn = write_warc(ROWS[8:10]) + b"JUNKJUNK"
+        (tmp_path / "small2.warc").write_bytes(torn)
+        (tmp_path / "giant.warc").write_bytes(write_warc(big_rows))
+        heavy_bytes = (tmp_path / "small1.warc").stat().st_size + 1
+        assert (tmp_path / "giant.warc").stat().st_size > heavy_bytes
+
+        raw = read_warc_raw(spark, str(tmp_path), heavy_bytes=heavy_bytes)
+        # the heavy branch is a repartition: exactly one Exchange, on the
+        # heavy class only
+        plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+
+        pages = read_warc_pages(spark, str(tmp_path), heavy_bytes=heavy_bytes)
+        assert pages.count() == 10 + len(big_rows)
+
+        lin = {r["src_file"]: r for r in warc_lineage(raw).collect()}
+        assert len(lin) == 4
+        small2 = next(v for k, v in lin.items() if k.endswith("small2.warc"))
+        assert small2["page_rows"] == 2
+        assert small2["torn_records"] == 1
+        assert small2["errors"].startswith("bad_magic@")
+        giant = next(v for k, v in lin.items() if k.endswith("giant.warc"))
+        assert giant["page_rows"] == len(big_rows)
+        assert giant["torn_records"] == 0
+        assert giant["payload_bytes"] == sum(len(d) for _, _, d, _, _ in big_rows)
     finally:
         spark.stop()
