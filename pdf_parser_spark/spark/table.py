@@ -92,30 +92,78 @@ class SnapshotParquetTable:
 
 
 class IcebergTable:
-    """Thin wrapper over a real Iceberg catalog table (cluster path).
+    """Wrapper over a real Iceberg catalog table (cluster path).
 
     Requires spark configured with an Iceberg catalog, e.g.::
 
         --conf spark.sql.catalog.cc=org.apache.iceberg.spark.SparkCatalog
         --conf spark.sql.catalog.cc.type=hive
 
-    Untestable in this sandbox (no runtime jar) — kept minimal and
-    symmetrical with SnapshotParquetTable so the job code is
-    backend-agnostic.
+    The sandbox has no Iceberg runtime jar, so the catalog surface this
+    class touches is exactly four statements — ``CREATE TABLE ... USING
+    iceberg``, ``df.writeTo(name).append()``, ``read.table(name)``, and
+    the ``<name>.snapshots`` metadata query — and the shared contract
+    with SnapshotParquetTable (append returns a snapshot record with
+    ``id``/``row_count``/``lineage``; lineage rows are durably recorded
+    per snapshot; ``snapshots()``/``read()``/``committed_urls()``) is
+    pinned by tests/test_table_resume.py running the SAME resume
+    scenario through both backends (catalog calls emulated).
     """
 
     def __init__(self, spark: SparkSession, name: str):
         self.spark = spark
         self.name = name
+        self.lineage_name = name + "_lineage"
 
-    def append(self, df: DataFrame, lineage_rows: list[dict] | None = None):
+    def ensure(self, schema_ddl: str, partition_by: str = "size_class") -> None:
+        """Create the table if missing (idempotent — safe from every
+        resumed run).  Partitioning by size_class keeps the heavy tail
+        in its own files, mirroring write_output's parquet layout."""
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.name} ({schema_ddl}) "
+            f"USING iceberg PARTITIONED BY ({partition_by})"
+        )
+
+    def snapshots(self) -> list[dict]:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id AS id, committed_at FROM {self.name}.snapshots "
+            "ORDER BY committed_at"
+        ).collect()
+        return [r.asDict() for r in rows]
+
+    def append(self, df: DataFrame, lineage_rows: list[dict] | None = None) -> dict:
+        """Atomic Iceberg append; commit is the snapshot itself.
+        Lineage rows land in ``<name>_lineage`` keyed by snapshot id so
+        any snapshot's partition metrics survive with the data."""
+        n = df.count()
         df.writeTo(self.name).append()
+        snaps = self.snapshots()
+        snap_id = snaps[-1]["id"] if snaps else None
+        if lineage_rows:
+            ldf = self.spark.createDataFrame(
+                [
+                    {"snapshot_id": snap_id, "lineage_json": json.dumps(r)}
+                    for r in lineage_rows
+                ]
+            )
+            try:
+                ldf.writeTo(self.lineage_name).append()
+            except Exception:
+                ldf.writeTo(self.lineage_name).create()
+        return {
+            "id": snap_id,
+            "row_count": n,
+            "lineage": lineage_rows or [],
+        }
 
-    def read(self) -> DataFrame:
+    def read(self) -> DataFrame | None:
+        if not self.snapshots():
+            return None
         return self.spark.read.table(self.name)
 
-    def committed_urls(self) -> DataFrame:
-        return self.read().select("url").distinct()
+    def committed_urls(self) -> DataFrame | None:
+        df = self.read()
+        return df.select("url").distinct() if df is not None else None
 
 
 def open_table(spark: SparkSession, target: str):

@@ -194,3 +194,167 @@ def test_package_zip(tmp_path):
         names = z.namelist()
     assert "pdf_parser_spark/engine/api.py" in names
     assert "fixtures/gen.py" in names
+
+
+# ---------------------------------------------------------------------------
+# Iceberg backend: shared-contract tests (VERDICT r2 #6).  The sandbox
+# has no Iceberg runtime jar, so the four catalog touchpoints
+# (CREATE TABLE DDL, writeTo().append()/create(), read.table(),
+# <name>.snapshots metadata query) are emulated with real DataFrames
+# held in an in-memory catalog; everything else in IcebergTable runs
+# for real.  The parquet backend runs the SAME scenario unemulated, so
+# the two backends cannot drift on the contract the job layer uses.
+# ---------------------------------------------------------------------------
+
+
+class _FakeCatalog:
+    """In-memory Iceberg-ish catalog: named tables are lists of real
+    DataFrames; the main table accrues snapshot metadata per append."""
+
+    def __init__(self):
+        self.tables = {}
+        self.snaps = {}
+        self.ddl = []
+
+    def append(self, name, df):
+        if name not in self.tables:
+            raise RuntimeError(f"Table {name} does not exist")
+        self.tables[name].append(df)
+        self.snaps.setdefault(name, []).append(
+            {"id": 1000 + len(self.snaps.get(name, [])),
+             "committed_at": len(self.snaps.get(name, []))}
+        )
+
+    def create(self, name, df=None):
+        self.tables.setdefault(name, [])
+        if df is not None:
+            self.append(name, df)
+
+    def read(self, name):
+        import functools
+        dfs = self.tables.get(name, [])
+        if not dfs:
+            raise RuntimeError(f"Table {name} does not exist or is empty")
+        from pyspark.sql import DataFrame as _DF
+        return functools.reduce(_DF.unionByName, dfs)
+
+
+class _FakeWriter:
+    def __init__(self, cat, name, df):
+        self.cat, self.name, self.df = cat, name, df
+
+    def append(self):
+        self.cat.append(self.name, self.df)
+
+    def create(self):
+        self.cat.create(self.name, self.df)
+
+
+class _Rows:
+    def __init__(self, dicts):
+        self._dicts = dicts
+
+    def collect(self):
+        class R(dict):
+            def asDict(self):
+                return dict(self)
+        return [R(d) for d in self._dicts]
+
+
+@pytest.fixture()
+def iceberg_env(spark, monkeypatch):
+    """Patch the four catalog touchpoints onto the live session."""
+    # patch the CONCRETE classes (pyspark 4's classic.DataFrame
+    # overrides the pyspark.sql.DataFrame ABC methods)
+    df_cls = type(spark.range(1))
+    rdr_cls = type(spark.read)
+
+    cat = _FakeCatalog()
+    monkeypatch.setattr(
+        df_cls, "writeTo", lambda df, name: _FakeWriter(cat, name, df)
+    )
+    monkeypatch.setattr(
+        rdr_cls, "table", lambda rdr, name: cat.read(name)
+    )
+    real_sql = spark.sql
+
+    def fake_sql(q, *a, **kw):
+        if "CREATE TABLE IF NOT EXISTS" in q and "USING iceberg" in q:
+            cat.ddl.append(q)
+            cat.create(q.split("CREATE TABLE IF NOT EXISTS ")[1].split(" ")[0])
+            return _Rows([])
+        if ".snapshots" in q:
+            name = q.split("FROM ")[1].split(".snapshots")[0]
+            return _Rows(cat.snaps.get(name, []))
+        return real_sql(q, *a, **kw)
+
+    monkeypatch.setattr(spark, "sql", fake_sql)
+    return cat
+
+
+def _run_contract_scenario(tbl, spark, pages):
+    """The job-layer contract, backend-agnostic: empty-read → append
+    with lineage → resume anti-join → append rest → full table, no
+    dupes, idempotent resume.  Returns the two append records."""
+    from pdf_parser_spark.spark.job import lineage as lineage_of
+
+    assert tbl.read() is None
+    assert tbl.committed_urls() is None
+    assert tbl.snapshots() == []
+
+    half = pages.filter(F.xxhash64("url") % 2 == 0)
+    ex1 = run_extract(half, threshold=100_000)
+    lin1 = [r.asDict() for r in lineage_of(ex1).collect()]
+    rec1 = tbl.append(ex1, lineage_rows=lin1)
+    assert rec1["row_count"] == half.count()
+    assert rec1["lineage"] == lin1
+    assert len(tbl.snapshots()) == 1
+
+    remaining = resume_filter(pages, tbl.committed_urls())
+    assert remaining.count() == pages.count() - half.count()
+    rec2 = tbl.append(run_extract(remaining, threshold=100_000))
+    assert rec2["id"] != rec1["id"]
+
+    final = tbl.read()
+    assert final.count() == pages.count()
+    assert final.select("url").distinct().count() == pages.count()
+    assert resume_filter(pages, tbl.committed_urls()).count() == 0
+    assert len(tbl.snapshots()) == 2
+    return rec1, rec2
+
+
+def test_contract_parquet_backend(spark, pages, tmp_path):
+    tbl = open_table(spark, str(tmp_path / "contract"))
+    _run_contract_scenario(tbl, spark, pages)
+
+
+def test_contract_iceberg_backend(spark, pages, iceberg_env):
+    from pdf_parser_spark.spark.table import IcebergTable
+
+    tbl = open_table(spark, "iceberg:cc.db.extracted")
+    assert isinstance(tbl, IcebergTable)
+    tbl.ensure("url string, text_extracted string, size_class string")
+    assert len(iceberg_env.ddl) == 1
+    assert "USING iceberg" in iceberg_env.ddl[0]
+    assert "PARTITIONED BY (size_class)" in iceberg_env.ddl[0]
+    # idempotent from a resumed run
+    tbl.ensure("url string, text_extracted string, size_class string")
+
+    rec1, _ = _run_contract_scenario(tbl, spark, pages)
+
+    # lineage rows survive in the sibling table, keyed by snapshot id
+    lin = iceberg_env.read("cc.db.extracted_lineage").collect()
+    assert {r["snapshot_id"] for r in lin} == {rec1["id"]}
+    assert all("row_count" in r["lineage_json"] for r in lin)
+
+
+def test_backend_method_symmetry():
+    """The two backends expose the same job-facing surface."""
+    import inspect
+
+    from pdf_parser_spark.spark.table import IcebergTable
+
+    for meth in ("append", "read", "committed_urls", "snapshots"):
+        ps = inspect.signature(getattr(SnapshotParquetTable, meth)).parameters
+        pi = inspect.signature(getattr(IcebergTable, meth)).parameters
+        assert list(ps) == list(pi), meth
