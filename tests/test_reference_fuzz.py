@@ -719,3 +719,178 @@ def test_fuzz_fastpath_fallback_byte_identity(ref_bin):
         data = gen_fastpath_fallback_pdf(rng)
         all_diffs += _run_diff(ref_bin, data, f"fallback-{doc_i}")
     assert not all_diffs, all_diffs[:4]
+
+
+# -- incremental xref-stream chains with conflicting ObjStm entries ----------
+#
+# VERDICT r2 #8 frontier: revision chains where the SAME object number
+# lives in DIFFERENT /ObjStm containers across revisions (newest xref
+# entry must win while the older ObjStm still serves its unchanged
+# objects), and xref streams whose /Index carries gapped multi-pair
+# subsections, zero-count pairs, odd-length arrays, unknown row types,
+# re-listed shadow entries, and truncated row data (both sides break
+# out of the row loop identically — document.rs:388/engine
+# document.py:613).
+
+
+def _objstm(num: int, inner: list[tuple[int, bytes]]) -> tuple[bytes, dict]:
+    """Build an /ObjStm object; returns (bytes, {objnum: index})."""
+    bodies = b""
+    header_pairs = []
+    for n, body in inner:
+        header_pairs.append(b"%d %d" % (n, len(bodies)))
+        bodies += body + b" "
+    header = b" ".join(header_pairs) + b"\n"
+    payload = zlib.compress(header + bodies)
+    blob = (b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+            b"/Filter /FlateDecode >>\nstream\n"
+            % (num, len(inner), len(header), len(payload))
+            + payload + b"\nendstream\nendobj\n")
+    return blob, {n: i for i, (n, _) in enumerate(inner)}
+
+
+def _xref_stream(rng: random.Random, num: int, pairs, size: int,
+                 prev: int | None, trunc_last: bool) -> bytes:
+    """Build an /XRef stream object from ``pairs`` =
+    [(start, [(type, f2, f3), ...]), ...]; always emits /Index."""
+    w2 = rng.choice([2, 3, 4])
+    data = bytearray()
+    for _, rows in pairs:
+        for t, f2, f3 in rows:
+            data += bytes([t]) + f2.to_bytes(w2, "big") + f3.to_bytes(1, "big")
+    if trunc_last:
+        data = data[: -(2 + w2)]  # torn final row: both sides break out
+    index = b" ".join(b"%d %d" % (s, len(rows)) for s, rows in pairs)
+    if rng.random() < 0.25:
+        index += b" %d" % rng.randint(50, 90)  # odd-length /Index: count 0
+    payload = zlib.compress(bytes(data))
+    prev_part = b" /Prev %d" % prev if prev is not None else b""
+    return (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 %d 1] /Index [%s] "
+            b"/Root 1 0 R%s /Filter /FlateDecode /Length %d >>\nstream\n"
+            % (num, size, w2, index, prev_part, len(payload))
+            + payload + b"\nendstream\nendobj\n")
+
+
+def _noise_pairs(rng: random.Random, size: int) -> list:
+    """Row-space noise: free rows, unknown types, zero-count pairs."""
+    out = []
+    if rng.random() < 0.35:
+        out.append((size + rng.randint(0, 3), [(0, 0, 0)]))     # free
+    if rng.random() < 0.30:
+        out.append((size + 10, [(7, rng.randint(0, 9999), 0)]))  # unknown
+    if rng.random() < 0.30:
+        out.append((rng.randint(40, 60), []))                    # zero-count
+    rng.shuffle(out)
+    return out
+
+
+def gen_xref_chain_pdf(rng: random.Random) -> bytes:
+    fonts = [b"F1"]
+    out = bytearray(b"%PDF-1.5\n")
+
+    # revision 0: catalog/pages/page/font in ObjStm 5, content 4,
+    # xref stream 6
+    content0 = _content_stream(rng, fonts)
+    off4 = len(out)
+    if rng.random() < 0.5:
+        payload, filt = zlib.compress(content0), b" /Filter /FlateDecode"
+    else:
+        payload, filt = content0, b""
+    out += (b"4 0 obj\n<< /Length %d%s >>\nstream\n" % (len(payload), filt)
+            + payload + b"\nendstream\nendobj\n")
+    inner0 = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 8 0 R >> >> >>"),
+        (8, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica%s >>"
+            % rng.choice(ENCODINGS)),
+    ]
+    off5 = len(out)
+    blob, idx0 = _objstm(5, inner0)
+    out += blob
+    xref_off = len(out)
+    base_rows = [
+        (0, 0, 0),                      # 0 free
+        (2, 5, idx0[1]), (2, 5, idx0[2]), (2, 5, idx0[3]),
+        (1, off4, 0), (1, off5, 0), (1, xref_off, 0),
+        (0, 0, 0),                      # 7 free
+        (2, 5, idx0[8]),
+    ]
+    if rng.random() < 0.5:
+        pairs = [(0, base_rows)]
+    else:
+        # gapped spelling of the same mapping: split at a random point
+        k = rng.randint(2, 7)
+        pairs = [(0, base_rows[:k]), (k, base_rows[k:])]
+    out += _xref_stream(rng, 6, pairs, 9, None, trunc_last=False)
+    prev_off = xref_off
+
+    cur_content = 4
+    size = 9
+    for upd in range(rng.randint(1, 2)):
+        nb = 10 * (upd + 1)
+        new_content = _content_stream(rng, fonts)
+        if rng.random() < 0.45:
+            # (a) replace the live content object in place
+            offc = len(out)
+            out += (b"%d 0 obj\n<< /Length %d >>\nstream\n"
+                    % (cur_content, len(new_content))
+                    + new_content + b"\nendstream\nendobj\n")
+            xoff = len(out)
+            size = max(size, nb + 7)
+            pairs = [(cur_content, [(1, offc, 0)]),
+                     (nb + 6, [(1, xoff, 0)])]
+        else:
+            # (b) conflicting ObjStm: objects 3 and 8 move to a NEW
+            # container while ObjStm 5 still serves 1 and 2; page now
+            # points at content nb+4; font may change encoding (the
+            # output text proves which revision won)
+            offc = len(out)
+            out += (b"%d 0 obj\n<< /Length %d >>\nstream\n"
+                    % (nb + 4, len(new_content))
+                    + new_content + b"\nendstream\nendobj\n")
+            inner1 = [
+                (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    b"/Contents %d 0 R /Resources << /Font << /F1 8 0 R >> "
+                    b">> >>" % (nb + 4)),
+                (8, b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier%s >>"
+                    % rng.choice(ENCODINGS)),
+            ]
+            if rng.random() < 0.4:
+                # stale duplicate of the catalog: present in the new
+                # container but never pointed at by any xref entry
+                inner1.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+            rng.shuffle(inner1)
+            offs = len(out)
+            blob, idx1 = _objstm(nb + 5, inner1)
+            out += blob
+            xoff = len(out)
+            size = max(size, nb + 7)
+            pairs = [(3, [(2, nb + 5, idx1[3])]),
+                     (8, [(2, nb + 5, idx1[8])]),
+                     (nb + 4, [(1, offc, 0), (1, offs, 0), (1, xoff, 0)])]
+            cur_content = nb + 4
+        if rng.random() < 0.3:
+            # shadow re-list of an unchanged object at its live location
+            pairs.append((5, [(1, off5, 0)]))
+        noise = _noise_pairs(rng, size)
+        trunc = bool(noise) and rng.random() < 0.5 and noise[-1][1]
+        pairs += noise
+        out += _xref_stream(rng, nb + 6, pairs, size, prev_off,
+                            trunc_last=bool(trunc))
+        prev_off = xoff
+
+    out += b"startxref\n%d\n%%%%EOF\n" % prev_off
+    return bytes(out)
+
+
+def test_fuzz_xref_chain_byte_identity(ref_bin):
+    rng = random.Random(SEED + 11)
+    for doc_i in range(120):
+        data = gen_xref_chain_pdf(rng)
+        diffs = _run_diff(ref_bin, data, f"xchain-{doc_i}")
+        if diffs:
+            sys.stderr.write(f"repro: seed={SEED + 11} doc={doc_i}\n")
+            sys.stderr.write(data.hex()[:4000] + "\n")
+        assert not diffs, diffs[:5]
