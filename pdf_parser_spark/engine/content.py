@@ -121,6 +121,35 @@ _TJ_ITEM_RE = _re.compile(rb"(" + _PSTR + rb")|(" + _N + rb")")
 # prefix of the unknown operator "Tjq" (which the reference treats as
 # discard-operands, no span).
 _NB = rb"[0-9.+-]+"
+
+# Per-run SPECIALIZED item matcher cache: most writers emit runs whose
+# font name, size, and matrix a-d are constant with only e/f/text
+# varying (absolute-positioned lines).  Freezing those five fields as
+# literals leaves a 3-group pattern that matches ~2x faster than the
+# 9-group generic item (measured 162->74 us on the 60-page fixture's
+# page), and acceptance is a strict subset of _LINE_ITEM_RE with
+# byte-equal fields, so semantics are inherited.  Keyed by the raw
+# field bytes; bounded against hostile many-key streams.
+_SPEC_CACHE: dict[tuple, "_re.Pattern"] = {}
+
+
+def _specialized_line_re(bn, bs, ba, bb, bc, bd):
+    key = (bn, bs, ba, bb, bc, bd)
+    spec = _SPEC_CACHE.get(key)
+    if spec is None:
+        if len(_SPEC_CACHE) >= 512:
+            _SPEC_CACHE.clear()
+        e = _re.escape
+        spec = _SPEC_CACHE[key] = _re.compile(
+            _W + rb"/" + e(bn) + _W1 + e(bs) + _W + rb"Tf" + _W
+            + e(ba) + _W1 + e(bb) + _W1 + e(bc) + _W1 + e(bd) + _W1
+            + rb"(" + _NB + rb")" + _W1 + rb"(" + _NB + rb")"
+            + _W + rb"Tm" + _W
+            + rb"\(([^()\\]*)\)" + _W + rb"Tj" + _G
+        )
+    return spec
+
+
 _LINE_ITEM_PAT = (
     _W
     + rb"/(" + _NAME_B + rb")" + _W1 + rb"(" + _NB + rb")"
@@ -329,7 +358,52 @@ class ContentParser:
                 st.text_matrix = tm
                 if operands:
                     operands.clear()
-                # batch-consume a following run of LINE tokens (see
+                # specialized uniform-run consumption first: this
+                # item's font/size/a-d frozen as literals (see
+                # _specialized_line_re); e/f float() may still reject
+                # a class-over-accepted number — the failing item has
+                # consumed nothing and advanced nothing, so the
+                # generic item loop (then the outer loop) re-lexes it
+                if enc is None:
+                    sm = _specialized_line_re(bn, bs, ba, bb, bc, bd).match
+                    ts_new0 = TextSpan.__new__
+                    la = lm[0]
+                    lb, lc, ld = lm[1], lm[2], lm[3]
+                    last2 = None
+                    m2 = sm(data, pos)
+                    try:
+                        while m2 is not None:
+                            be2, bf2, raw2 = m2.groups()
+                            e2 = float(be2)
+                            f2 = float(bf2)
+                            if clean or _nonid(raw2) is None:
+                                text = raw2.decode("latin-1")
+                            else:
+                                text = raw2.decode("latin-1").translate(
+                                    _DEFAULT_TABLE
+                                )
+                            trimmed = text.strip(RUST_WS)
+                            if trimmed or text:
+                                sp = ts_new0(TextSpan)
+                                sp.text = trimmed if trimmed else " "
+                                sp.x = e2
+                                sp.y = f2
+                                sp.font_size = fsize
+                                sp.font_name = fname
+                                spans_append(sp)
+                            last2 = raw2
+                            e, f_ = e2, f2
+                            pos = m2.end()
+                            m2 = sm(data, pos)
+                    except ValueError:
+                        pass
+                    if last2 is not None:
+                        lm = [la, lb, lc, ld, e, f_]
+                        st.line_matrix = lm
+                        tm = lm[:]
+                        tm[4] = e + len(last2) * fsize * 0.5
+                        st.text_matrix = tm
+                # batch-consume any remaining run of LINE tokens (see
                 # _LINE_ITEM_RE): per-item work is only one simple
                 # C-level match + decode + span emit (measured faster
                 # than a (?:item)+ run match with findall — repeated
