@@ -19,6 +19,7 @@ def all_queries():
     from pdf_parser_spark.ops import (
         assembly,
         clustering,
+        containment,
         corpusstats,
         skewjoin,
         normalize,
@@ -49,6 +50,7 @@ def all_queries():
         assembly,
         skewjoin,
         normalize,
+        containment,
     ):
         out.update(mod.QUERIES)
     return out

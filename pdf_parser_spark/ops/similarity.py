@@ -218,7 +218,88 @@ FROM ranked WHERE rank <= {IVF_K}
 """
 
 
+LSH_QUERY_LO, LSH_QUERY_HI = 24, 32
+LSH_K = 3
+LSH_BIT_LO, LSH_BIT_HI = 2, 8  # sign bits over components 2..7
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed cosine top-k: every vector gets a 6-bit
+    sign sketch (axis-aligned hyperplanes over components 2-7, the
+    same family as dedup_embedding_cosine); queries probe only their
+    own bucket and rank candidates by exact cosine.
+
+    Scale: the sketch is narrow codegen over the scan — no training
+    pass (the IVF variant's centroid assignment) and no corpus-wide
+    shuffle: the probe join is keyed on the 6-bit bucket with the
+    query side broadcast, so each query reads ~1/64th of the corpus.
+    The production recall knob is multi-probe (flip one sketch bit per
+    extra probe) or repeated sketches, both of which only multiply the
+    broadcast side.
+    """
+    bucket = sum(
+        (F.element_at("v", c) >= 0).cast("int") * (1 << (LSH_BIT_HI - 1 - c))
+        for c in range(LSH_BIT_LO, LSH_BIT_HI)
+    )
+    vecs = _vecs(spark, sf_dir).withColumn("bucket", bucket)
+    q = vecs.filter(
+        (F.col("vec_id") >= LSH_QUERY_LO) & (F.col("vec_id") < LSH_QUERY_HI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    probe = vecs.join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    scored = probe.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        roundn(_cosine(F.col("qv"), F.col("v")), 6).alias("cos6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= LSH_K)
+        .select(
+            "query_id", "neighbor_id", "rank", roundn(F.col("cos6"), 4).alias("cosine")
+        )
+    )
+
+
+_LSH_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN v[{c}] >= 0 THEN {1 << (LSH_BIT_HI - 1 - c)} ELSE 0 END)"
+    for c in range(LSH_BIT_LO, LSH_BIT_HI)
+)
+
+ANN_LSH_TOPK_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         ({_LSH_BUCKET_SQL}) AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+  FROM vecs WHERE vec_id >= {LSH_QUERY_LO} AND vec_id < {LSH_QUERY_HI}
+),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         {_R6A} AS cos6
+  FROM vecs a JOIN q ON a.bucket = q.qbucket
+  WHERE a.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos6,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, {_R4COS} AS cosine
+FROM ranked WHERE rank <= {LSH_K}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_TOPK_SQL),
 }

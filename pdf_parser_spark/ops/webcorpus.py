@@ -20,7 +20,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from pdf_parser_spark.ops.common import h32, h32_sql, load_table, tokens
+from pdf_parser_spark.ops.common import (
+    h32,
+    h32_sql,
+    load_table,
+    tokens,
+    tokens_sql,
+)
 
 # url_dedup: canonical-key collision modulus (several doc_ids share a
 # canonical url, so the dedup actually collapses rows)
@@ -307,8 +313,132 @@ QUALIFY sample_rank <= {STRATUM_QUOTA}
 """
 
 
+# ---------------------------------------------------------------------------
+# host_diversity — mirror / boilerplate-farm domain detection
+# ---------------------------------------------------------------------------
+
+# every MIRROR_MODth page on a host serves the same templated content
+MIRROR_MOD = 4
+
+
+def host_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host content diversity: pages, distinct content hashes, and
+    floor(distinct·100 / pages).  Hosts near 0 are mirror farms or
+    parked templates — standard crawl-curation drop signals.  The
+    derived crawl maps each document to host ``source.example.com``
+    and collapses every {MIRROR_MOD}th page to one templated body.
+
+    Scale: content is reduced to md5 IN THE SCAN (narrow codegen), so
+    the only shuffle carries (host, md5) pairs.  count_distinct plans
+    as two map-side-combinable aggregates — (host, md5) partial-dedup
+    then host rollup — so a million-page host costs its distinct-hash
+    count, not its page count, in shuffle bytes.  No text moves.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.when(
+        F.col("doc_id") % MIRROR_MOD == 0, F.lit("templated mirror body")
+    ).otherwise(F.col("text"))
+    crawl = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.md5(body).alias("content_md5"),
+    )
+    return crawl.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.count_distinct("content_md5").alias("n_distinct"),
+    ).select(
+        "host",
+        "n_pages",
+        "n_distinct",
+        F.floor(F.col("n_distinct") * 100 / F.col("n_pages")).alias(
+            "diversity_x100"
+        ),
+    )
+
+
+HOST_DIVERSITY_SQL = f"""
+WITH crawl AS (
+  SELECT source || '.example.com' AS host,
+         md5(CASE WHEN doc_id % {MIRROR_MOD} = 0
+                  THEN 'templated mirror body' ELSE text END) AS content_md5
+  FROM documents
+)
+SELECT host,
+       count(*) AS n_pages,
+       CAST(count(DISTINCT content_md5) AS BIGINT) AS n_distinct,
+       CAST(floor(count(DISTINCT content_md5) * 100.0 / count(*)) AS BIGINT)
+         AS diversity_x100
+FROM crawl
+GROUP BY host
+"""
+
+
+# ---------------------------------------------------------------------------
+# intradoc_dedup — within-document repetition (zero-shuffle)
+# ---------------------------------------------------------------------------
+
+PARA_WIDTH = 3  # tokens per synthetic "paragraph"
+
+
+def intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated-paragraph stats: split into
+    {PARA_WIDTH}-token paragraphs, count total vs distinct, report
+    floor(repeated·100 / total).  High repetition flags scraped
+    listings / navigation spam — a per-document quality gate that
+    needs NO corpus context.
+
+    Scale: entirely narrow — paragraphs, distinct count, and the ratio
+    are higher-order array functions over each row (zero Exchange, no
+    Python).  At 100 TB this runs at scan speed fused into whatever
+    stage reads the text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    paras = F.transform(
+        F.sequence(F.lit(1), F.size(tok), F.lit(PARA_WIDTH)),
+        lambda s: F.array_join(F.slice(tok, s, PARA_WIDTH), " "),
+    )
+    return (
+        docs.select("doc_id", paras.alias("paras"))
+        .filter(F.size("paras") >= 1)
+        .select(
+            "doc_id",
+            F.size("paras").cast("long").alias("n_para"),
+            F.size(F.array_distinct("paras")).cast("long").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_para",
+            "n_distinct",
+            F.floor((F.col("n_para") - F.col("n_distinct")) * 100 / F.col("n_para"))
+            .alias("rep_ratio_x100"),
+        )
+    )
+
+
+INTRADOC_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql("text")} AS tok FROM documents
+),
+paras AS (
+  SELECT doc_id,
+         [array_to_string(tok[s : s + {PARA_WIDTH - 1}], ' ')
+          for s in generate_series(1, len(tok), {PARA_WIDTH})] AS paras
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(paras) AS BIGINT) AS n_para,
+       CAST(len(list_distinct(paras)) AS BIGINT) AS n_distinct,
+       CAST(floor((len(paras) - len(list_distinct(paras))) * 100.0
+                  / len(paras)) AS BIGINT) AS rep_ratio_x100
+FROM paras
+WHERE len(paras) >= 1
+"""
+
+
 QUERIES = {
     "url_dedup": (url_dedup, URL_DEDUP_SQL),
     "line_dedup": (line_dedup, LINE_DEDUP_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "host_diversity": (host_diversity, HOST_DIVERSITY_SQL),
+    "intradoc_dedup": (intradoc_dedup, INTRADOC_DEDUP_SQL),
 }

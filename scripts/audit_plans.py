@@ -129,6 +129,44 @@ def main() -> None:
          and "ArrowEvalPython" not in p)
     )
 
+    # 4h. containment prefix-filter join: every join is a hash join
+    # on an equi-key (shingle / doc id) — no cartesian or nested-loop
+    # shape anywhere, and the document-frequency aggregate combines
+    # map-side before its exchange
+    from pdf_parser_spark.ops.containment import dedup_containment
+
+    p = plan_of(dedup_containment(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("containment-hash-joins-only",
+         "CartesianProduct" not in p and "NestedLoop" not in p)
+    )
+    checks.append(("containment-df-partial-agg", "partial_count" in p))
+
+    # 4i. intradoc_dedup is fully narrow: no exchange, no Python
+    from pdf_parser_spark.ops.webcorpus import host_diversity, intradoc_dedup
+
+    p = plan_of(intradoc_dedup(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("intradoc-narrow-codegen",
+         "Exchange" not in p and "ArrowEvalPython" not in p)
+    )
+
+    # 4j. host_diversity shuffles only (host, md5) — text reduced to a
+    # hash in the scan, no Python
+    p = plan_of(host_diversity(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("hostdiversity-no-python", "ArrowEvalPython" not in p)
+    )
+
+    # 4k. LSH top-k probes via a broadcast equi-join on the bucket
+    from pdf_parser_spark.ops.similarity import ann_lsh_topk
+
+    p = plan_of(ann_lsh_topk(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("lsh-topk-broadcast-bucket-join",
+         "BroadcastHashJoin" in p and "NestedLoop" not in p)
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (
