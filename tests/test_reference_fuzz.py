@@ -586,6 +586,106 @@ def test_fuzz_line_runs_byte_identity(ref_bin):
         assert not diffs, diffs[:5]
 
 
+def _uniform_run_content(rng: random.Random) -> bytes:
+    """Long runs where font/size/matrix-a-d stay BYTE-constant and only
+    e/f/text vary — the shape the specialized per-run matcher
+    (engine/content.py _specialized_line_re) consumes — salted with
+    items crafted to break out of it:
+
+    * e/f spellings the number CLASS accepts but float() rejects
+      ("1-2", "++5", "1.2.3", ".", "-") — the ValueError fallback must
+      re-lex from the exact failing position;
+    * strings with escapes / nested parens — the specialized pattern
+      excludes backslash, so the generic item loop must take over
+      mid-run without losing the line matrix;
+    * value-equal but byte-different matrix fields ("12" vs "12.0",
+      "1" vs "1.00") — ends one specialization key, starts another.
+    """
+    fs = rng.choice([b"10", b"12", b"12.0", b"14"])
+    font = rng.choice([b"F1", b"F2"])
+    a, b_, c_, d = b"1", b"0", b"0", b"1"
+    ops: list[bytes] = [b"BT"]
+    spans_left = 20
+    y = 760.0
+    n_items = rng.randint(10, 40)
+    for _ in range(n_items):
+        if spans_left <= 0:
+            break
+        y -= rng.choice([14.0, 16.0, 0.0])
+        x = b"%.1f" % (40 + rng.random() * 300)
+        roll = rng.random()
+        if roll < 0.70:
+            s = b"(uniform run words %d)" % rng.randint(0, 999)
+            spans_left -= 1
+            ops.append(b"/%s %s Tf %s %s %s %s %s %s Tm %s Tj"
+                       % (font, fs, a, b_, c_, d, x, b"%.1f" % y, s))
+        elif roll < 0.80:
+            # float()-rejectable coordinate in e or f
+            bad = rng.choice([b"1-2", b"++5", b"1.2.3", b".", b"-", b"5-"])
+            e_f = (bad, b"%.1f" % y) if rng.random() < 0.5 else (x, bad)
+            ops.append(b"/%s %s Tf %s %s %s %s %s %s Tm (bad coord) Tj"
+                       % (font, fs, a, b_, c_, d, *e_f))
+            spans_left -= 1  # reference may still emit a span
+        elif roll < 0.90:
+            # escape-bearing string: spec pattern must hand over to the
+            # generic loop exactly at this item
+            s = rng.choice([
+                b"(esc \\(paren\\) tail)",
+                b"(nested (deep) parens)",
+                b"(back\\\\slash \\101)",
+            ])
+            spans_left -= 1
+            ops.append(b"/%s %s Tf %s %s %s %s %s %s Tm %s Tj"
+                       % (font, fs, a, b_, c_, d, x, b"%.1f" % y, s))
+        else:
+            # byte-variant field value: same number, new spec key
+            fs = rng.choice([b"10", b"12", b"12.0", b"12.00", b"14"])
+            if rng.random() < 0.3:
+                a = rng.choice([b"1", b"1.0", b"1.00"])
+            if rng.random() < 0.3:
+                font = rng.choice([b"F1", b"F2"])
+            s = b"(key switch %d)" % rng.randint(0, 99)
+            spans_left -= 1
+            ops.append(b"/%s %s Tf %s %s %s %s %s %s Tm %s Tj"
+                       % (font, fs, a, b_, c_, d, x, b"%.1f" % y, s))
+    ops.append(b"ET")
+    return b" ".join(ops)
+
+
+def gen_uniform_run_pdf(rng: random.Random) -> bytes:
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica%s >>"
+          % rng.choice(ENCODINGS))
+    b.add(6, b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier%s >>"
+          % rng.choice(ENCODINGS))
+    res = b"/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >>"
+    content = _uniform_run_content(rng)
+    if rng.random() < 0.4:
+        payload, filters = zlib.compress(content), b"/FlateDecode"
+    else:
+        payload, filters = content, None
+    b.add(10, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Contents 30 0 R %s >>" % res)
+    b.add_stream(30, b"", payload, filters)
+    return b.build()
+
+
+def test_fuzz_uniform_runs_byte_identity(ref_bin):
+    """Differential fuzz for the specialized uniform-run fast path:
+    frozen-field runs with hostile break-out items must stay
+    byte-identical to the reference in every format."""
+    rng = random.Random(SEED + 7)
+    for doc_i in range(120):
+        data = gen_uniform_run_pdf(rng)
+        diffs = _run_diff(ref_bin, data, f"uniformrun-{doc_i}")
+        if diffs:
+            sys.stderr.write(f"repro: seed={SEED + 7} doc={doc_i}\n")
+            sys.stderr.write(data.hex()[:4000] + "\n")
+        assert not diffs, diffs[:5]
+
+
 def test_reference_panics_on_tolerance_chain(ref_bin):
     """Pin the two halves of the >20-span contract.
 
