@@ -78,6 +78,10 @@ BENCH_OPS = [
     "incremental_dedup",
     "quality_classifier",
     "doclen_percentiles",
+    "dedup_containment",
+    "ann_lsh_topk",
+    "host_diversity",
+    "intradoc_dedup",
 ]
 
 

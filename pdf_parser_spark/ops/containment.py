@@ -28,9 +28,11 @@ WWW 2008 — public literature):
   shingle is ubiquitous (the skew-killer — a hot shingle has maximal
   df and is ordered LAST, never into a prefix unless τ forces nearly
   the whole set, and a prefix that long means the doc is tiny).
-* What shuffles: (sh, doc_id, n) int triples for the index and the
-  df aggregate (map-side combinable).  Shingle ARRAYS move only for
-  verified candidate pairs.  Text never shuffles.
+* What shuffles: ONLY (sh, doc_id, n) int triples — the index, the
+  df aggregate (map-side combinable), and the count-join that
+  verifies candidates.  Shingle arrays and text never shuffle; the
+  per-pair verification rows are bounded by the true intersection
+  size, so a one-shared-shingle false candidate costs ~1 row.
 * Verification is exact integer arithmetic (5·|∩| ≥ 4·n) — no float
   thresholds, so the value-hash gate stays clean.
 
@@ -119,22 +121,26 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("da") != F.col("db"))
             & (TAU_DEN * F.col("nb") >= TAU_NUM * F.col("na"))
         )
-        .select("da", "db")
+        .select("da", "na", "db")
         .distinct()
     )
-    # verify: shingle arrays move ONLY for candidate pairs
-    a = hashed.select(
-        F.col("doc_id").alias("da"),
-        F.col("shs").alias("sa"),
-        F.col("n").alias("na"),
+    # verify as a pure COUNT join — shingle arrays never shuffle at
+    # all: re-keying the exploded table by (doc, sh) and counting the
+    # candidate-constrained matches computes |S(A)∩S(B)| exactly
+    # (shingle sets are distinct per doc), moving only int triples.
+    # The per-pair match rows are bounded by the true intersection
+    # size, so a low-overlap candidate (the common case — one shared
+    # rare shingle) costs ~1 row, not an array pair.
+    ex_a = ex.select(F.col("doc_id").alias("da"), "sh")
+    ex_b = ex.select(F.col("doc_id").alias("db"), "sh")
+    inter = (
+        cand.join(ex_a, "da")
+        .join(ex_b, ["db", "sh"])
+        .groupBy("da", "db", "na")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    b = hashed.select(F.col("doc_id").alias("db"), F.col("shs").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
     return (
-        cand.join(a, "da")
-        .join(b, "db")
-        .withColumn("inter", inter)
-        .filter(TAU_DEN * F.col("inter") >= TAU_NUM * F.col("na"))
+        inter.filter(TAU_DEN * F.col("inter") >= TAU_NUM * F.col("na"))
         .select(
             F.col("da").alias("contained_doc"),
             F.col("db").alias("container_doc"),
