@@ -82,6 +82,7 @@ BENCH_OPS = [
     "ann_lsh_topk",
     "host_diversity",
     "intradoc_dedup",
+    "substring_dedup",
 ]
 
 

@@ -29,6 +29,7 @@ def all_queries():
         multimodal,
         pipeline,
         similarity,
+        substring,
         temporal,
         textstats,
         webcorpus,
@@ -51,6 +52,7 @@ def all_queries():
         skewjoin,
         normalize,
         containment,
+        substring,
     ):
         out.update(mod.QUERIES)
     return out

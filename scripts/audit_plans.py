@@ -167,6 +167,20 @@ def main() -> None:
          "BroadcastHashJoin" in p and "NestedLoop" not in p)
     )
 
+    # 4l. substring_dedup: every ArrowEvalPython occurrence sits inside
+    # the persisted gram relation (the hasher physically runs once per
+    # materialization — plan toString repeats the cached plan under
+    # each InMemoryTableScan), and all joins are hash joins
+    from pdf_parser_spark.ops.substring import substring_dedup
+
+    p = plan_of(substring_dedup(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("substring-cached-arrow-hash-joins",
+         p.count("ArrowEvalPython") == p.count("InMemoryRelation")
+         and p.count("InMemoryRelation") >= 1
+         and "CartesianProduct" not in p and "NestedLoop" not in p)
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (
