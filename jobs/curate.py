@@ -11,7 +11,11 @@ over it —
   4. near-dup collapse          (banded MinHash-LSH over h32 shingles,
                                  keep the band-bucket's min url —
                                  bucketed, never all-pairs)
-  5. funnel lineage             (per-stage row counts + per-source
+  5. repeated-span strip        (cross-document repeated >=8-token
+                                 spans blanked from every carrier —
+                                 ops/substring.py machinery; rows are
+                                 transformed, never dropped)
+  6. funnel lineage             (per-stage row counts + per-source
                                  composition, written next to the data)
 
 and writes a training-ready parquet table bucketed-ready on url.
@@ -119,6 +123,87 @@ def neardup_collapse(df: DataFrame, text_col: str = "text_extracted") -> DataFra
         sig.unpersist()
 
 
+def strip_repeated_spans(
+    df: DataFrame, text_col: str = "text_extracted", id_col: str = "url"
+) -> DataFrame:
+    """Stage 5: blank cross-document repeated spans (Lee et al.
+    ACL'22 exact-substring dedup at the n-gram anchor —
+    ops/substring.py documents the exactness argument) from EVERY
+    carrier row.  Rows are transformed, never dropped; ``_n_tok`` is
+    recomputed and ``_tok_removed`` records the per-row strip count
+    for lineage.
+
+    Scale shape (same as the oracled stats op): one Arrow gram pass,
+    one combinable dup-gram aggregate, only (gram, id, pos) triples
+    shuffle, islands window partitioned per document.  The rebuild
+    drops covered token positions with an indexed array filter —
+    per-row cost O(n_tok × n_islands), islands typically ≤ a few.
+    """
+    from pyspark.sql import Window
+
+    from pdf_parser_spark.ops.substring import GRAM_N, _make_gram_udf
+
+    udf = _make_gram_udf()
+    grams = df.select(
+        id_col, F.posexplode(udf(F.col(text_col))).alias("_pos", "_g")
+    ).persist()
+    try:
+        dup = (
+            grams.groupBy("_g")
+            .agg(F.count_distinct(id_col).alias("_nd"))
+            .filter(F.col("_nd") > 1)
+            .select("_g")
+        )
+        hits = grams.join(dup, "_g").select(id_col, "_pos")
+        w_prev = (
+            Window.partitionBy(id_col)
+            .orderBy("_pos")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w0 = Window.partitionBy(id_col).orderBy("_pos")
+        marked = hits.withColumn(
+            "_new",
+            F.when(
+                F.col("_pos") > F.max(F.col("_pos") + GRAM_N - 1).over(w_prev) + 1,
+                1,
+            ).otherwise(0),
+        ).withColumn(
+            "_new",
+            F.when(F.row_number().over(w0) == 1, 1).otherwise(F.col("_new")),
+        ).withColumn("_isl", F.sum("_new").over(w0))
+        islands = marked.groupBy(id_col, "_isl").agg(
+            F.min("_pos").alias("s"), (F.max("_pos") + GRAM_N - 1).alias("e")
+        )
+        per_doc = islands.groupBy(id_col).agg(
+            F.collect_list(F.struct("s", "e")).alias("_iv")
+        )
+        # the per-doc interval list is tiny (ids + a few int pairs);
+        # materialize it while grams is cached so the rebuild join
+        # never re-triggers the gram UDF
+        per_doc = per_doc.persist()
+        per_doc.count()
+    finally:
+        grams.unpersist()
+    joined = df.join(per_doc, id_col, "left")
+    tok = tokens(F.col(text_col))
+    kept = F.filter(
+        tok,
+        lambda t, i: ~F.exists(
+            "_iv", lambda iv: (i >= iv["s"]) & (i <= iv["e"])
+        ),
+    )
+    kept = F.when(F.col("_iv").isNull(), tok).otherwise(kept)
+    return (
+        joined.withColumn("_kept", kept)
+        .withColumn(
+            "_tok_removed", (F.size(tok) - F.size("_kept")).cast("long")
+        )
+        .withColumn(text_col, F.array_join("_kept", " "))
+        .withColumn("_n_tok", F.size("_kept"))
+        .drop("_iv", "_kept")
+    )
+
+
 def curate(extracted: DataFrame) -> tuple[DataFrame, list[dict]]:
     """Run the funnel; returns (curated DF, per-stage lineage rows).
 
@@ -146,7 +231,8 @@ def curate(extracted: DataFrame) -> tuple[DataFrame, list[dict]]:
     s2 = stage("quality", quality_floor(s1))
     s3 = stage("exact_dedup", exact_dedup(s2))
     s4 = stage("near_dedup", neardup_collapse(s3))
-    return s4, funnel
+    s5 = stage("span_dedup", strip_repeated_spans(s4))
+    return s5, funnel
 
 
 def main() -> None:
@@ -167,15 +253,19 @@ def main() -> None:
     # ships in the output as `n_tokens` — a useful lineage column — so
     # the composition aggregate reads the WRITTEN table back instead of
     # re-traversing the funnel.
-    curated.withColumnRenamed("_n_tok", "n_tokens").write.mode(
-        "overwrite"
-    ).parquet(f"{args.output}/data")
+    curated.withColumnRenamed("_n_tok", "n_tokens").withColumnRenamed(
+        "_tok_removed", "span_tokens_removed"
+    ).write.mode("overwrite").parquet(f"{args.output}/data")
     curated.unpersist()
     comp = [
         r.asDict()
         for r in spark.read.parquet(f"{args.output}/data")
         .groupBy("doc_type")
-        .agg(F.count(F.lit(1)).alias("rows"), F.sum("n_tokens").alias("tokens"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("span_tokens_removed").alias("span_tokens_removed"),
+        )
         .collect()
     ]
     report = {"funnel": funnel, "composition": comp}

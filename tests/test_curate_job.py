@@ -74,6 +74,39 @@ def test_curate_funnel(spark):
     assert stages["quality"] == 5        # short dropped
     assert stages["exact_dedup"] == 4    # dup-b dropped
     assert stages["near_dedup"] == 3     # near-b dropped
+    assert stages["span_dedup"] == 3     # transform stage: no drops
     # funnel is monotone non-increasing
     rows = [f["rows"] for f in funnel]
     assert rows == sorted(rows, reverse=True)
+    # the three survivors share no 8-gram -> span strip is a no-op
+    assert all(
+        r["_tok_removed"] == 0
+        for r in curated.select("_tok_removed").collect()
+    )
+
+
+def test_curate_strips_cross_document_repeated_span(spark):
+    """Two otherwise-distinct survivors share one 10-token span: the
+    span-dedup stage must blank it from BOTH carriers and leave the
+    unique remainder byte-intact."""
+    from jobs.curate import strip_repeated_spans
+
+    shared = " ".join(f"viral{i}" for i in range(10))
+    a_head = " ".join(f"aa{i % 23} bb{i % 7} cc" for i in range(40))
+    b_tail = " ".join(f"xx{i % 19} yy{i % 5} zz" for i in range(40))
+    rows = [
+        ("https://t/a", f"{a_head} {shared}"),
+        ("https://t/b", f"{shared} {b_tail}"),
+        ("https://t/c", "entirely different words " + " ".join(
+            f"qq{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "url string, text_extracted string")
+    out = {r.url: r.asDict() for r in strip_repeated_spans(df).collect()}
+
+    assert out["https://t/a"]["_tok_removed"] == 10
+    assert out["https://t/b"]["_tok_removed"] == 10
+    assert out["https://t/c"]["_tok_removed"] == 0
+    assert out["https://t/a"]["text_extracted"] == a_head
+    assert out["https://t/b"]["text_extracted"] == b_tail
+    assert out["https://t/c"]["text_extracted"] == rows[2][1]
+    assert out["https://t/a"]["_n_tok"] == len(a_head.split())
