@@ -139,47 +139,27 @@ def strip_repeated_spans(
     drops covered token positions with an indexed array filter —
     per-row cost O(n_tok × n_islands), islands typically ≤ a few.
     """
-    from pyspark.sql import Window
-
-    from pdf_parser_spark.ops.substring import GRAM_N, _make_gram_udf
+    from pdf_parser_spark.ops.substring import (
+        _make_gram_udf,
+        dup_gram_hits,
+        merge_islands,
+    )
 
     udf = _make_gram_udf()
     grams = df.select(
-        id_col, F.posexplode(udf(F.col(text_col))).alias("_pos", "_g")
+        id_col, F.posexplode(udf(F.col(text_col))).alias("pos", "g")
     ).persist()
     try:
-        dup = (
-            grams.groupBy("_g")
-            .agg(F.count_distinct(id_col).alias("_nd"))
-            .filter(F.col("_nd") > 1)
-            .select("_g")
-        )
-        hits = grams.join(dup, "_g").select(id_col, "_pos")
-        w_prev = (
-            Window.partitionBy(id_col)
-            .orderBy("_pos")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        w0 = Window.partitionBy(id_col).orderBy("_pos")
-        marked = hits.withColumn(
-            "_new",
-            F.when(
-                F.col("_pos") > F.max(F.col("_pos") + GRAM_N - 1).over(w_prev) + 1,
-                1,
-            ).otherwise(0),
-        ).withColumn(
-            "_new",
-            F.when(F.row_number().over(w0) == 1, 1).otherwise(F.col("_new")),
-        ).withColumn("_isl", F.sum("_new").over(w0))
-        islands = marked.groupBy(id_col, "_isl").agg(
-            F.min("_pos").alias("s"), (F.max("_pos") + GRAM_N - 1).alias("e")
-        )
+        islands = merge_islands(dup_gram_hits(grams, id_col), id_col)
         per_doc = islands.groupBy(id_col).agg(
             F.collect_list(F.struct("s", "e")).alias("_iv")
         )
-        # the per-doc interval list is tiny (ids + a few int pairs);
-        # materialize it while grams is cached so the rebuild join
-        # never re-triggers the gram UDF
+        # the per-doc interval list is tiny (ids + a few int pairs,
+        # only for documents that carry a repeated span); materialize
+        # it while grams is cached so the rebuild join never
+        # re-triggers the gram UDF.  It stays cached for the rest of
+        # the job — bounded residency, and evicting it would recompute
+        # the gram pass.
         per_doc = per_doc.persist()
         per_doc.count()
     finally:

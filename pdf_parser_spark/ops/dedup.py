@@ -103,7 +103,14 @@ def _perm_sql(h_expr: str, i_expr: str) -> str:
 
 
 def _shingle_hash_set(text: str) -> list[int]:
-    """Distinct word-3-gram h32 values, sorted (deterministic)."""
+    """Distinct word-3-gram h32 values, sorted (deterministic).
+
+    The distinct is applied to the HASH values, not the gram strings:
+    every DuckDB oracle spells this as ``list_distinct([h32(s) ...])``,
+    so two distinct grams colliding on the 32-bit prefix must collapse
+    to one value on the Spark side too, or set sizes / SimHash votes
+    diverge between engines on the (rare but corpus-scale-real)
+    within-document collision."""
     import hashlib
 
     toks = [t for t in text.split(" ") if t]
@@ -114,7 +121,10 @@ def _shingle_hash_set(text: str) -> list[int]:
         for i in range(len(toks) - SHINGLE_N + 1)
     }
     return sorted(
-        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams
+        {
+            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+            for g in grams
+        }
     )
 
 

@@ -102,6 +102,52 @@ def _substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_gram_hits(grams: DataFrame, id_col: str) -> DataFrame:
+    """(id, pos) rows whose gram ``g`` occurs in >1 distinct document.
+    The duplicated-gram set is ONE map-side-combinable aggregate."""
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+    return grams.join(dup, "g").drop("g", "nd")
+
+
+def merge_islands(hits: DataFrame, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of {GRAM_N}-wide matches at ``pos`` into
+    maximal covered spans per document: a new span starts where this
+    gram's coverage is neither overlapping nor adjacent to the
+    running-max end of all earlier matches.  Returns one row per
+    (id, island) with inclusive token bounds ``s``..``e``.  The
+    windows partition by the document id — the sort is bounded by the
+    document's own matched-gram count, never a corpus sort."""
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w0 = Window.partitionBy(id_col).orderBy("pos")
+    spans = hits.withColumn(
+        "new_span",
+        F.when(
+            F.col("pos") > F.max(F.col("pos") + GRAM_N - 1).over(w) + 1,
+            1,
+        ).otherwise(0),
+    )
+    # first row of each doc has NULL running max -> when() is false;
+    # force it to start a span
+    spans = spans.withColumn(
+        "new_span",
+        F.when(F.row_number().over(w0) == 1, 1).otherwise(F.col("new_span")),
+    ).withColumn("island", F.sum("new_span").over(w0))
+    other = [c for c in hits.columns if c not in (id_col, "pos")]
+    return spans.groupBy(id_col, "island", *other).agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + GRAM_N - 1).alias("e"),
+    )
+
+
 def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repeated-span coverage: tokens inside any
     {GRAM_N}-gram shared with another document, with overlapping
@@ -118,39 +164,7 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("g")
-    )
-    hits = grams.join(dup, "g").select("doc_id", "n_tokens", "pos")
-    # gaps-and-islands: a new span starts where this gram's coverage
-    # is neither overlapping nor adjacent to the running-max end of
-    # all earlier matches; island id = running count of starts
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    spans = hits.withColumn(
-        "new_span",
-        F.when(
-            F.col("pos") > F.max(F.col("pos") + GRAM_N - 1).over(w) + 1,
-            1,
-        ).otherwise(0),
-    )
-    # first row of each doc has NULL running max -> when() is false;
-    # force it to start a span
-    w0 = Window.partitionBy("doc_id").orderBy("pos")
-    spans = spans.withColumn(
-        "new_span",
-        F.when(F.row_number().over(w0) == 1, 1).otherwise(F.col("new_span")),
-    ).withColumn("island", F.sum("new_span").over(w0))
-    islands = spans.groupBy("doc_id", "n_tokens", "island").agg(
-        F.min("pos").alias("s"),
-        (F.max("pos") + GRAM_N - 1).alias("e"),
-    )
+    islands = merge_islands(dup_gram_hits(grams, "doc_id"), "doc_id")
     return (
         islands.groupBy("doc_id", "n_tokens")
         .agg(

@@ -393,8 +393,14 @@ def intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = tokens(F.col("text"))
+    # guard the sequence bound: F.sequence(1, 0, 3) RAISES (unlike the
+    # oracle's empty generate_series) — same empty-token guard as
+    # ops.common.shingles
+    idx = F.when(
+        F.size(tok) >= 1, F.sequence(F.lit(1), F.size(tok), F.lit(PARA_WIDTH))
+    ).otherwise(F.array().cast("array<int>"))
     paras = F.transform(
-        F.sequence(F.lit(1), F.size(tok), F.lit(PARA_WIDTH)),
+        idx,
         lambda s: F.array_join(F.slice(tok, s, PARA_WIDTH), " "),
     )
     return (

@@ -273,21 +273,43 @@ def read_warc_pages(spark, path, heavy_bytes: int = DEFAULT_HEAVY_WARC_BYTES):
     )
 
 
+ERROR_SAMPLE_CAP = 20  # error details kept per source file
+
+
 def warc_lineage(raw):
     """Per-source-file ingest lineage over ``read_warc_raw`` output:
     page counts, torn-record tallies, byte totals.  One real groupBy
-    over metadata-sized data (bytes never shuffle — only the tallies)."""
-    from pyspark.sql import functions as F
+    over metadata-sized data (bytes never shuffle — only the tallies).
+
+    The error DETAIL column is capped at the {ERROR_SAMPLE_CAP}
+    smallest entries per file BEFORE aggregation (window over the
+    error rows only, planned as WindowGroupLimit): a badly corrupted
+    multi-GB archive can emit one resync error per fault, and an
+    unbounded collect_list would concentrate millions of strings into
+    one aggregation row.  The full torn-record COUNT is exact
+    regardless."""
+    from pyspark.sql import Window, functions as F
 
     is_err = F.col("warc_error").isNotNull()
-    return raw.groupBy("src_file").agg(
+    tallies = raw.groupBy("src_file").agg(
         F.sum(F.when(~is_err, 1).otherwise(0)).alias("page_rows"),
         F.sum(F.when(is_err, 1).otherwise(0)).alias("torn_records"),
         F.sum(F.when(~is_err, F.length("html")).otherwise(0)).alias("payload_bytes"),
-        F.concat_ws(
-            ";", F.array_sort(F.collect_list(F.col("warc_error")))
-        ).alias("errors"),
     )
+    w = Window.partitionBy("src_file").orderBy("warc_error")
+    errors = (
+        raw.filter(is_err)
+        .select("src_file", "warc_error")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= ERROR_SAMPLE_CAP)
+        .groupBy("src_file")
+        .agg(
+            F.concat_ws(";", F.array_sort(F.collect_list("warc_error"))).alias(
+                "errors"
+            )
+        )
+    )
+    return tallies.join(errors, "src_file", "left").fillna({"errors": ""})
 
 
 def write_warc(rows, compress: bool = False) -> bytes:

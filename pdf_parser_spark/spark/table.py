@@ -124,21 +124,41 @@ class IcebergTable:
             f"USING iceberg PARTITIONED BY ({partition_by})"
         )
 
+    def _exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.name)
+
     def snapshots(self) -> list[dict]:
+        """Snapshot records oldest-first; [] before the table exists
+        (the shared resume contract: a fresh target reads as empty,
+        it does not raise)."""
+        if not self._exists():
+            return []
         rows = self.spark.sql(
-            f"SELECT snapshot_id AS id, committed_at FROM {self.name}.snapshots "
-            "ORDER BY committed_at"
+            "SELECT snapshot_id AS id, committed_at, summary "
+            f"FROM {self.name}.snapshots ORDER BY committed_at"
         ).collect()
         return [r.asDict() for r in rows]
 
     def append(self, df: DataFrame, lineage_rows: list[dict] | None = None) -> dict:
         """Atomic Iceberg append; commit is the snapshot itself.
         Lineage rows land in ``<name>_lineage`` keyed by snapshot id so
-        any snapshot's partition metrics survive with the data."""
-        n = df.count()
+        any snapshot's partition metrics survive with the data.
+
+        The new snapshot is identified by diffing snapshot ids around
+        the commit (writeTo().append() returns nothing) — under
+        concurrent writers ``snapshots()[-1]`` could be someone else's
+        commit.  The row count comes from the snapshot's own
+        ``added-records`` summary, NOT ``df.count()``: a pre-commit
+        count would execute the full upstream plan a second time.
+        """
+        before = {s["id"] for s in self.snapshots()}
         df.writeTo(self.name).append()
         snaps = self.snapshots()
-        snap_id = snaps[-1]["id"] if snaps else None
+        new = [s for s in snaps if s["id"] not in before]
+        snap = new[-1] if new else (snaps[-1] if snaps else None)
+        snap_id = snap["id"] if snap else None
+        summary = (snap.get("summary") or {}) if snap else {}
+        n = int(summary.get("added-records", -1))
         if lineage_rows:
             ldf = self.spark.createDataFrame(
                 [
@@ -146,9 +166,9 @@ class IcebergTable:
                     for r in lineage_rows
                 ]
             )
-            try:
+            if self.spark.catalog.tableExists(self.lineage_name):
                 ldf.writeTo(self.lineage_name).append()
-            except Exception:
+            else:
                 ldf.writeTo(self.lineage_name).create()
         return {
             "id": snap_id,

@@ -222,7 +222,10 @@ class _FakeCatalog:
         self.tables[name].append(df)
         self.snaps.setdefault(name, []).append(
             {"id": 1000 + len(self.snaps.get(name, [])),
-             "committed_at": len(self.snaps.get(name, []))}
+             "committed_at": len(self.snaps.get(name, [])),
+             # real Iceberg snapshots carry commit metrics; append()
+             # reads row counts from here instead of re-executing df
+             "summary": {"added-records": str(df.count())}}
         )
 
     def create(self, name, df=None):
@@ -289,6 +292,11 @@ def iceberg_env(spark, monkeypatch):
         return real_sql(q, *a, **kw)
 
     monkeypatch.setattr(spark, "sql", fake_sql)
+    monkeypatch.setattr(
+        type(spark.catalog),
+        "tableExists",
+        lambda _c, name, db=None: name in cat.tables,
+    )
     return cat
 
 
@@ -333,6 +341,12 @@ def test_contract_iceberg_backend(spark, pages, iceberg_env):
 
     tbl = open_table(spark, "iceberg:cc.db.extracted")
     assert isinstance(tbl, IcebergTable)
+    # BEFORE the table is ever created, the resume surface must read
+    # as empty — not raise (a fresh --resume run calls committed_urls
+    # first; real Iceberg throws AnalysisException on a missing table)
+    assert tbl.snapshots() == []
+    assert tbl.read() is None
+    assert tbl.committed_urls() is None
     tbl.ensure("url string, text_extracted string, size_class string")
     assert len(iceberg_env.ddl) == 1
     assert "USING iceberg" in iceberg_env.ddl[0]
