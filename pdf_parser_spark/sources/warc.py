@@ -56,17 +56,26 @@ RAW_SCHEMA = (
 )
 
 
-def _gunzip_members(data: bytes) -> bytes:
+def _gunzip_members(data: bytes) -> tuple[bytes, str | None]:
     """Concatenate all gzip members (CC WARCs are one member per
-    record); plain data passes through."""
+    record); plain data passes through.  TOTAL: a corrupt member stops
+    decompression at the fault and reports it instead of raising —
+    everything decoded so far still gets scanned, and a truncated
+    final member passes its partial bytes through (the record scanner
+    then reports ``truncated_body`` with an offset)."""
     if data[:2] != b"\x1f\x8b":
-        return data
+        return data, None
     out = []
     while data:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out.append(d.decompress(data))
+        try:
+            out.append(d.decompress(data))
+        except zlib.error:
+            return b"".join(out), "bad_gzip_member"
+        if d.unused_data == data:  # no progress: malformed header
+            return b"".join(out), "bad_gzip_member"
         data = d.unused_data
-    return b"".join(out)
+    return b"".join(out), None
 
 
 def _resync(data: bytes, pos: int) -> int:
@@ -96,7 +105,9 @@ def parse_warc(data: bytes) -> tuple[list[dict], list[dict]]:
     ``bad_magic`` (bytes where a version line should be),
     ``no_header_end`` (no blank line terminating the header block),
     ``bad_length`` (missing/non-integer Content-Length),
-    ``truncated_body`` (fewer body bytes than declared).  After any
+    ``truncated_body`` (fewer body bytes than declared),
+    ``bad_gzip_member`` (corrupt gzip framing — records recovered
+    before the fault are still scanned).  After any
     fault the scanner resyncs to the next line-initial ``WARC/``
     magic; faults at the true tail (no further record) consume the
     rest of the buffer.
@@ -105,9 +116,12 @@ def parse_warc(data: bytes) -> tuple[list[dict], list[dict]]:
     a blank line, exactly ``Content-Length`` body bytes, then two
     CRLFs before the next record.
     """
-    data = _gunzip_members(data)
+    data, gz_err = _gunzip_members(data)
     records: list[dict] = []
     errors: list[dict] = []
+    if gz_err is not None:
+        # offset = decompressed bytes recovered before the fault
+        errors.append({"kind": gz_err, "offset": len(data)})
 
     def fault(kind: str, at: int) -> int:
         errors.append({"kind": kind, "offset": at})

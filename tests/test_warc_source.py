@@ -168,3 +168,47 @@ def test_spark_heavy_routing_and_lineage(tmp_path):
         assert giant["payload_bytes"] == sum(len(d) for _, _, d, _, _ in big_rows)
     finally:
         spark.stop()
+
+
+# ---------------------------------------------------------------------------
+# Totality fuzz: parse_warc is TOTAL — arbitrary bytes, bit-flipped
+# real archives, and truncations always return (records, errors),
+# never raise, and are deterministic (the per-file task contract: one
+# corrupt archive must never kill an ingest task).
+# ---------------------------------------------------------------------------
+
+
+def _sample_blob(compress: bool) -> bytes:
+    rows = [
+        (f"https://w/{i}", 1_700_000_000_000_000 + i,
+         b"<html><body>doc %d body text</body></html>" % i, "", "en")
+        for i in range(6)
+    ]
+    return write_warc(rows, compress=compress)
+
+
+def test_fuzz_parse_warc_total():
+    import random
+
+    rng = random.Random(20260818)
+    for compress in (False, True):
+        base = bytearray(_sample_blob(compress))
+        for trial in range(60):
+            mutated = bytearray(base)
+            for _ in range(rng.randint(1, 10)):
+                i = rng.randrange(len(mutated))
+                mutated[i] ^= 1 << rng.randrange(8)
+            if rng.random() < 0.3:
+                mutated = mutated[: rng.randrange(len(mutated))]
+            blob = bytes(mutated)
+            r1 = parse_warc(blob)
+            r2 = parse_warc(blob)
+            assert isinstance(r1, tuple) and len(r1) == 2, (compress, trial)
+            records, errors = r1
+            assert all(isinstance(e["kind"], str) for e in errors)
+            assert (records, errors) == r2  # deterministic
+        # pure garbage
+        for trial in range(40):
+            blob = bytes(rng.getrandbits(8) for _ in range(rng.randrange(2048)))
+            records, errors = parse_warc(blob)
+            assert isinstance(records, list) and isinstance(errors, list)
