@@ -75,6 +75,26 @@ def _cosine(a, b):
     return dot / (norm(a) * norm(b))
 
 
+
+def _rank_topk(scored, k: int):
+    """Shared ANN tail: per-query rank by (cos6 DESC, neighbor ASC),
+    keep top-k, emit the 4-decimal cosine.  One WindowGroupLimit-able
+    window per strategy."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos6"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            roundn(F.col("cos6"), 4).alias("cosine"),
+        )
+    )
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast queries × corpus scan."""
     vecs = _vecs(spark, sf_dir)
@@ -89,19 +109,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         roundn(_cosine(F.col("qv"), F.col("v")), 6).alias("cos6"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos6"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            roundn(F.col("cos6"), 4).alias("cosine"),
-        )
-    )
+    return _rank_topk(scored, TOPK_K)
 
 
 ANN_COSINE_TOPK_SQL = f"""
@@ -170,14 +178,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         roundn(_cosine(F.col("qv"), F.col("v")), 6).alias("cos6"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= IVF_K)
-        .select(
-            "query_id", "neighbor_id", "rank", roundn(F.col("cos6"), 4).alias("cosine")
-        )
-    )
+    return _rank_topk(scored, IVF_K)
 
 
 ANN_IVF_TOPK_SQL = f"""
@@ -257,14 +258,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         roundn(_cosine(F.col("qv"), F.col("v")), 6).alias("cos6"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= LSH_K)
-        .select(
-            "query_id", "neighbor_id", "rank", roundn(F.col("cos6"), 4).alias("cosine")
-        )
-    )
+    return _rank_topk(scored, LSH_K)
 
 
 _LSH_BUCKET_SQL = " + ".join(
