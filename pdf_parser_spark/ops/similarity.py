@@ -1,6 +1,6 @@
 """Approximate-nearest-neighbor search over the embedding column.
 
-Two strategies over ``embeddings(vec_id BIGINT, embedding FLOAT[64],
+Three strategies over ``embeddings(vec_id BIGINT, embedding FLOAT[64],
 label INT)``:
 
 * brute-force cosine top-k — the exactness baseline.  The query side
