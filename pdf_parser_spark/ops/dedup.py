@@ -113,6 +113,8 @@ def _shingle_hash_set(text: str) -> list[int]:
     within-document collision."""
     import hashlib
 
+    if not text:  # None / empty cell must not kill the task
+        return []
     toks = [t for t in text.split(" ") if t]
     if len(toks) < SHINGLE_N:
         return []

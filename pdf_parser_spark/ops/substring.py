@@ -64,6 +64,8 @@ def _gram_hashes(text: str) -> list[int]:
     (position i covers tokens [i, i+GRAM_N-1], 0-based)."""
     import hashlib
 
+    if not text:  # None / empty cell must not kill the task
+        return []
     toks = [t for t in text.split(" ") if t]
     if len(toks) < GRAM_N:
         return []
