@@ -83,6 +83,7 @@ BENCH_OPS = [
     "host_diversity",
     "intradoc_dedup",
     "substring_dedup",
+    "linkgraph_pagerank",
 ]
 
 

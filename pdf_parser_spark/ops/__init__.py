@@ -26,6 +26,7 @@ def all_queries():
         curation,
         dedup,
         filtering,
+        linkgraph,
         multimodal,
         pipeline,
         similarity,
@@ -53,6 +54,7 @@ def all_queries():
         normalize,
         containment,
         substring,
+        linkgraph,
     ):
         out.update(mod.QUERIES)
     return out
