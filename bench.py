@@ -84,6 +84,9 @@ BENCH_OPS = [
     "intradoc_dedup",
     "substring_dedup",
     "linkgraph_pagerank",
+    "crawl_priority",
+    "dedup_edit_verify",
+    "dsir_select",
 ]
 
 

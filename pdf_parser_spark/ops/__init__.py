@@ -25,9 +25,11 @@ def all_queries():
         normalize,
         curation,
         dedup,
+        editverify,
         filtering,
         linkgraph,
         multimodal,
+        selection,
         pipeline,
         similarity,
         substring,
@@ -55,6 +57,8 @@ def all_queries():
         containment,
         substring,
         linkgraph,
+        editverify,
+        selection,
     ):
         out.update(mod.QUERIES)
     return out

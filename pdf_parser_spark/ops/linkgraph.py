@@ -125,8 +125,51 @@ def linkgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_sql() -> str:
-    """The identical recurrence, unrolled as DuckDB CTEs."""
+def crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host_id, pagerank_e9, n_docs, total_chars, priority_e9):
+    crawl-frontier prioritization — authority per already-crawled
+    document, so high-PageRank under-crawled hosts surface first (the
+    OPIC/priority-queue shape of production crawl schedulers, e.g.
+    Cho, Garcia-Molina, Page WWW'98 — public).
+
+    ``priority_e9 = (pagerank_e9 * 1000) div (1 + n_docs)`` — all
+    BIGINT (max ~1.6e13 at any host count, far from overflow).
+
+    Scale: both inputs are host-grained — the rank table from
+    :func:`linkgraph_pagerank` and a per-host count/size aggregate
+    whose map-side combine reduces each partition to O(hosts) rows;
+    the final join is host x host (broadcast at any realistic host
+    cardinality).  Document text contributes only its length, computed
+    in the scan projection.
+    """
+    ranks = linkgraph_pagerank(spark, sf_dir)
+    hosts = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            (h32(F.col("doc_id").cast("string")) % N_HOSTS).alias("host"),
+            F.length("text").alias("chars"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars").alias("total_chars"),
+        )
+    )
+    return ranks.join(
+        hosts, ranks.host_id == hosts.host, "left"
+    ).selectExpr(
+        "host_id",
+        "pagerank_e9",
+        "coalesce(n_docs, CAST(0 AS BIGINT)) AS n_docs",
+        "coalesce(total_chars, CAST(0 AS BIGINT)) AS total_chars",
+        "(pagerank_e9 * 1000) div (1 + coalesce(n_docs, CAST(0 AS BIGINT)))"
+        " AS priority_e9",
+    )
+
+
+def _pagerank_cte() -> str:
+    """The identical recurrence, unrolled as DuckDB CTEs (through
+    ``pr_{{PR_ITERS}}``; callers append their final SELECT)."""
     sql = f"""
 WITH docs AS (SELECT doc_id::VARCHAR AS d FROM documents),
 raw_edges AS (
@@ -155,18 +198,39 @@ pr_0 AS (
   FROM nodes nd CROSS JOIN nn
   LEFT JOIN contrib_{i} c ON c.node = nd.node
 )"""
-    sql += f"""
+    return sql
+
+
+PAGERANK_SQL = (
+    _pagerank_cte()
+    + f"""
 SELECT p.node AS host_id,
        p.pr AS pagerank_e9,
        coalesce(d.outdeg, 0)::BIGINT AS out_degree
 FROM pr_{PR_ITERS} p
 LEFT JOIN outdeg d ON d.src = p.node
 """
-    return sql
+)
 
-
-PAGERANK_SQL = _pagerank_sql()
+CRAWL_PRIORITY_SQL = (
+    _pagerank_cte()
+    + f""", hosts AS (
+  SELECT {h32_sql("doc_id::VARCHAR")} % {N_HOSTS} AS host,
+         count(*)::BIGINT AS n_docs,
+         sum(length(text))::BIGINT AS total_chars
+  FROM documents GROUP BY 1
+)
+SELECT p.node AS host_id,
+       p.pr AS pagerank_e9,
+       coalesce(h.n_docs, 0)::BIGINT AS n_docs,
+       coalesce(h.total_chars, 0)::BIGINT AS total_chars,
+       ((p.pr * 1000) // (1 + coalesce(h.n_docs, 0)))::BIGINT AS priority_e9
+FROM pr_{PR_ITERS} p
+LEFT JOIN hosts h ON h.host = p.node
+"""
+)
 
 QUERIES = {
     "linkgraph_pagerank": (linkgraph_pagerank, PAGERANK_SQL),
+    "crawl_priority": (crawl_priority, CRAWL_PRIORITY_SQL),
 }

@@ -181,6 +181,42 @@ def main() -> None:
          and "CartesianProduct" not in p and "NestedLoop" not in p)
     )
 
+    # 4m. dsir_select: the 256-row weight table is broadcast back onto
+    # the token stream (never a shuffled join), and the score plan has
+    # no Python — the whole feature/weight path is codegen
+    from pdf_parser_spark.ops.selection import dsir_select
+
+    p = plan_of(dsir_select(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("dsir-broadcast-weights",
+         "BroadcastHashJoin" in p and "ArrowEvalPython" not in p
+         and "CartesianProduct" not in p and "NestedLoop" not in p)
+    )
+
+    # 4n. dedup_edit_verify: the tail projection happens before the
+    # pair joins — no full `text` column may appear on the shuffle
+    # side of the verify joins (tails are derived in the scan-side
+    # Project), and levenshtein stays JVM-side
+    from pdf_parser_spark.ops.editverify import dedup_edit_verify
+
+    p = plan_of(dedup_edit_verify(spark, "/root/testdata/sf0.001"))
+    verify_stage = p.split("levenshtein")[0]
+    checks.append(
+        ("editverify-tails-projected-before-join",
+         "levenshtein" in p and "substr" in p
+         and "CartesianProduct" not in verify_stage)
+    )
+
+    # 4o. crawl_priority: host-grained inputs only — the per-host agg
+    # partial-combines before its exchange and no Python anywhere
+    from pdf_parser_spark.ops.linkgraph import crawl_priority
+
+    p = plan_of(crawl_priority(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("crawlpriority-partial-agg-no-python",
+         "partial_count" in p and "ArrowEvalPython" not in p)
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (
