@@ -87,6 +87,7 @@ BENCH_OPS = [
     "crawl_priority",
     "dedup_edit_verify",
     "dsir_select",
+    "cardinality_kmv",
 ]
 
 

@@ -30,6 +30,7 @@ def all_queries():
         linkgraph,
         multimodal,
         selection,
+        sketches,
         pipeline,
         similarity,
         substring,
@@ -59,6 +60,7 @@ def all_queries():
         linkgraph,
         editverify,
         selection,
+        sketches,
     ):
         out.update(mod.QUERIES)
     return out

@@ -1,0 +1,99 @@
+"""Distributed cardinality sketches: KMV (k-minimum-values) distinct
+estimation per corpus slice.
+
+Corpus health dashboards need per-source distinct-vocabulary /
+distinct-content counts, and at 10^12 documents an exact
+count-distinct of token hashes is a giant shuffle.  The KMV estimator
+(Bar-Yossef et al. RANDOM'02; Beyer et al. SIGMOD'07 — public) keeps
+only the K smallest hash values per group: the K-th smallest hash t
+of a uniform 32-bit hash family estimates the distinct count as
+``(K - 1) * 2^32 // t``.  Unlike HyperLogLog (whose register layouts
+are engine-specific, so Spark's approx_count_distinct can never match
+a DuckDB oracle), KMV over the shared md5-based ``h32`` is a pure
+order statistic — **deterministic and engine-identical**, so the
+estimate itself is value-hash gradable, and the sketch is mergeable
+(the union's K smallest are a subset of the parts' K smallest — the
+property that makes it a distributed sketch).
+
+Exactness rule: everything is BIGINT (hash values, the K-th order
+statistic, the ``(K-1) * 2^32 // t`` estimate — numerator < 2^38).
+When a slice has fewer than K distinct hashes the sketch IS the exact
+set and the estimate equals the exact count.
+
+Scale shape: the (source, h) distinct pre-aggregation partial-combines
+map-side, so the per-source sort that extracts the K smallest runs
+over *distinct hashes only* (the doclen_percentiles discipline — never
+a corpus-row sort).  The production spelling replaces that sort with a
+partial min-K Aggregator so each partition forwards at most K values
+per group; the estimator and its value are unchanged — which is
+exactly what the oracle equality certifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from pdf_parser_spark.ops.common import h32, h32_sql, load_table, tokens, tokens_sql
+
+KMV_K = 64          # sketch size
+HASH_SPACE = 2**32  # h32 range
+
+
+def cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_sketch, kth_hash, est_distinct) — per-source distinct
+    token-hash estimate from the K smallest hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+        .select("source", h32(F.col("t")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    sketch = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    return (
+        sketch.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sketch"),
+            F.max("h").alias("kth_hash"),
+        )
+        .selectExpr(
+            "source",
+            "n_sketch",
+            "kth_hash",
+            f"CASE WHEN n_sketch < {KMV_K} THEN n_sketch"
+            f" ELSE ({KMV_K - 1} * CAST({HASH_SPACE} AS BIGINT)) div kth_hash"
+            " END AS est_distinct",
+        )
+    )
+
+
+CARDINALITY_KMV_SQL = f"""
+WITH toks AS (
+  SELECT source, {tokens_sql("text")} AS tok FROM documents
+),
+hashed AS (
+  SELECT DISTINCT source, {h32_sql("u.t")} AS h
+  FROM toks, unnest(tok) AS u(t)
+),
+ranked AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hashed
+),
+sk AS (
+  SELECT source, count(*)::BIGINT AS n_sketch, max(h)::BIGINT AS kth_hash
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY source
+)
+SELECT source, n_sketch, kth_hash,
+       (CASE WHEN n_sketch < {KMV_K} THEN n_sketch
+        ELSE ({KMV_K - 1} * {HASH_SPACE}::BIGINT) // kth_hash
+        END)::BIGINT AS est_distinct
+FROM sk
+"""
+
+QUERIES = {
+    "cardinality_kmv": (cardinality_kmv, CARDINALITY_KMV_SQL),
+}
