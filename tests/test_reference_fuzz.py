@@ -994,3 +994,137 @@ def test_fuzz_xref_chain_byte_identity(ref_bin):
             sys.stderr.write(f"repro: seed={SEED + 11} doc={doc_i}\n")
             sys.stderr.write(data.hex()[:4000] + "\n")
         assert not diffs, diffs[:5]
+
+
+# -- inline-image / foreign-operator junk fuzz -------------------------------
+#
+# The reference content parser has NO special BI/ID/EI arm
+# (content/parser.rs:490-523 dispatch): an inline image's binary
+# payload is tokenized by the same operand/operator loop as real
+# content — unknown bytes advance one at a time (parser.rs:299-303),
+# alphabetic runs become ignored operators, digit runs become dropped
+# operands, NUL counts as whitespace (parser.rs:227), '<' starts a
+# hex-string scan that skips non-hex bytes until '>', and an
+# unbalanced '(' swallows everything to end-of-stream through
+# read_string.  Our regex-batched interpreter must walk the junk
+# byte-for-byte the same way, including when islands land INSIDE a BT
+# block and perturb the text state.  This class plants BI .. ID
+# <junk> EI islands between and inside real text blocks.
+
+def _junk_island(rng: random.Random) -> bytes:
+    parts = [b"BI"]
+    for _ in range(rng.randint(0, 3)):  # plausible image dict entries
+        parts.append(rng.choice([b"/W 4", b"/H 4", b"/BPC 8", b"/CS /G",
+                                 b"/F /AHx", b"/IM true"]))
+    parts.append(b"ID")
+    body = bytearray()
+    for _ in range(rng.randint(2, 24)):
+        c = rng.random()
+        if c < 0.30:
+            body += bytes(rng.randint(0x80, 0xFE)
+                          for _ in range(rng.randint(1, 6)))
+        elif c < 0.42:
+            body += b"%d" % rng.randint(0, 99999)
+        elif c < 0.52:
+            body += bytes(rng.choice(b"abcdefgqQTERSXY")
+                          for _ in range(rng.randint(1, 4)))
+        elif c < 0.60:
+            # NOTE: no top-level ']' or '>' — parse_operand returns
+            # None WITHOUT consuming them (parser.rs:295), so the
+            # reference's main loop (parser.rs:97-129) spins forever
+            # on a stray one.  test_reference_hangs_on_stray_bracket
+            # pins that divergence; here we stay in the terminating
+            # envelope so byte identity is checkable.
+            body += rng.choice([b"\x00", b"\x0c", b"\\", b")",
+                                b"}", b"{", b"*", b"#"])
+        elif c < 0.68:
+            body += b"(paren %d)" % rng.randint(0, 9)
+        elif c < 0.74:
+            body += b"<A0F%d>" % rng.randint(0, 9)
+        elif c < 0.80:
+            body += b"/Nm%d" % rng.randint(0, 9)
+        elif c < 0.86:
+            body += b"[1 2]" if rng.random() < 0.7 else b"["
+        elif c < 0.92:
+            body += b"<< /K %d >>" % rng.randint(0, 9)
+        elif c < 0.97:
+            body += b"% junk comment\n"
+        else:
+            body += b"("  # unbalanced: swallows to end-of-stream
+        body += rng.choice([b"", b" ", b"\n"])
+    parts.append(bytes(body))
+    parts.append(b"EI")
+    return b" ".join(parts)
+
+
+def gen_inline_image_pdf(rng: random.Random) -> bytes:
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica%s >>"
+          % rng.choice(ENCODINGS))
+    b.add(6, b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier%s >>"
+          % rng.choice(ENCODINGS))
+    res = b"/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >>"
+
+    text = _content_stream(rng, [b"F1", b"F2"])
+    chunks = text.split(b" ET")
+    out = []
+    for ch in chunks:
+        if ch.strip():
+            out.append(ch + b" ET")
+        # islands between blocks, and sometimes inside the next BT
+        if rng.random() < 0.8:
+            out.append(_junk_island(rng))
+    if rng.random() < 0.5:
+        # island INSIDE a BT block, between two shows
+        out.append(b"BT /F1 12 Tf 50 700 Td (pre) Tj "
+                   + _junk_island(rng) + b" (post) Tj ET")
+    content = b" ".join(out)
+    if rng.random() < 0.35:
+        payload, filters = zlib.compress(content), b"/FlateDecode"
+    else:
+        payload, filters = content, None
+    b.add(10, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Contents 30 0 R %s >>" % res)
+    b.add_stream(30, b"", payload, filters)
+    return b.build()
+
+
+def test_fuzz_inline_image_junk_byte_identity(ref_bin):
+    rng = random.Random(SEED + 13)
+    for doc_i in range(120):
+        data = gen_inline_image_pdf(rng)
+        diffs = _run_diff(ref_bin, data, f"bi-{doc_i}")
+        if diffs:
+            sys.stderr.write(f"repro: seed={SEED + 13} doc={doc_i}\n")
+            sys.stderr.write(data.hex()[:4000] + "\n")
+        assert not diffs, diffs[:5]
+
+
+def test_reference_hangs_on_stray_bracket_we_terminate():
+    """Divergence pinned on purpose (like the tolerance-chain panic):
+    a top-level stray ']' or '>' makes the reference's main loop spin
+    forever — parse_operand returns None without consuming the byte
+    (content/parser.rs:295) and parse() re-enters at the same pos
+    (parser.rs:97-129).  A web-scale engine cannot inherit an
+    infinite loop from hostile bytes, so OUR interpreter skips the
+    stray delimiter and must finish instantly with the surrounding
+    text intact.  (Not run against the binary: it would hang the
+    suite; the code-level cause is cited instead.)"""
+    import time
+
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(10, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Contents 30 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.add_stream(
+        30, b"", b"BT /F1 12 Tf 50 700 Td (pre) Tj ] > (post) Tj ET", None
+    )
+    data = b.build()
+    t0 = time.time()
+    out = api.pdf_to_text(data)
+    assert time.time() - t0 < 5.0
+    assert "pre" in out and "post" in out
