@@ -1128,3 +1128,97 @@ def test_reference_hangs_on_stray_bracket_we_terminate():
     out = api.pdf_to_text(data)
     assert time.time() - t0 < 5.0
     assert "pre" in out and "post" in out
+
+
+# -- split-/Contents boundary fuzz -------------------------------------------
+#
+# A page's /Contents may be an ARRAY of streams; the reference
+# concatenates them with '\n' after each part (document.rs:728-739)
+# and only then parses — so a token that straddles a stream boundary
+# gains an interior newline: a split literal string absorbs a real
+# '\n' character, a split number or operator becomes two tokens.
+# This class splits a valid content stream at RANDOM byte positions
+# (mid-string, mid-number, mid-operator) into 2-4 member streams,
+# individually and randomly Flate-compressed, and asserts byte
+# identity — pinning that our get_page_contents join byte and the
+# downstream tokenization drift nowhere.
+
+def gen_split_contents_pdf(rng: random.Random) -> bytes:
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica%s >>"
+          % rng.choice(ENCODINGS))
+    b.add(6, b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier%s >>"
+          % rng.choice(ENCODINGS))
+    content = _content_stream(rng, [b"F1", b"F2"])
+    n_parts = rng.randint(2, 4)
+    # A cut BETWEEN the two chars of '<<' or '>>' leaves a lone
+    # top-level '<'/'>' after the join: the lone '<' eats hex-ish
+    # bytes to the first '>' and the survivor '>' then spins the
+    # reference's main loop forever (same parse_operand defect as
+    # test_reference_hangs_on_stray_bracket_we_terminate, where OUR
+    # termination on that shape is pinned).  Every other position —
+    # mid-string, mid-number, mid-operator, mid-escape — is fair
+    # game for the identity check.
+    legal = [
+        c for c in range(1, len(content))
+        if not (content[c - 1] == content[c]
+                and content[c] in (ord("<"), ord(">")))
+    ]
+    cuts = sorted(rng.sample(legal, min(n_parts - 1, len(legal))))
+    parts, prev = [], 0
+    for c in cuts + [len(content)]:
+        parts.append(content[prev:c])
+        prev = c
+    refs = []
+    for i, part in enumerate(parts):
+        if rng.random() < 0.4:
+            payload, filters = zlib.compress(part), b"/FlateDecode"
+        else:
+            payload, filters = part, None
+        b.add_stream(30 + i, b"", payload, filters)
+        refs.append(b"%d 0 R" % (30 + i))
+    b.add(10, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Contents [%s] /Resources << /Font << /F1 5 0 R /F2 6 0 R"
+          b" >> >> >>" % b" ".join(refs))
+    return b.build()
+
+
+def test_fuzz_split_contents_byte_identity(ref_bin):
+    rng = random.Random(SEED + 17)
+    for doc_i in range(120):
+        data = gen_split_contents_pdf(rng)
+        diffs = _run_diff(ref_bin, data, f"split-{doc_i}")
+        if diffs:
+            sys.stderr.write(f"repro: seed={SEED + 17} doc={doc_i}\n")
+            sys.stderr.write(data.hex()[:4000] + "\n")
+        assert not diffs, diffs[:5]
+
+
+def test_we_terminate_on_pair_breaking_contents_split():
+    """The other spelling of the stray-bracket hang: a /Contents array
+    whose boundary lands BETWEEN the two chars of '<<' (real-world
+    linearized PDFs split content at arbitrary byte offsets).  After
+    the '\\n' join the lone '<' scans hex-ish bytes to the first '>'
+    and the surviving '>' spins the reference's main loop forever
+    (content/parser.rs:295 + 97-129).  Our engine must finish fast
+    with the text around the wreckage intact."""
+    import time
+
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    part_a = b"BT /F1 12 Tf 50 700 Td (pre) Tj /P <"
+    part_b = b"< /MCID 3 >> BDC (post) Tj ET"
+    b.add_stream(30, b"", part_a, None)
+    b.add_stream(31, b"", part_b, None)
+    b.add(10, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Contents [30 0 R 31 0 R] /Resources << /Font "
+          b"<< /F1 5 0 R >> >> >>")
+    data = b.build()
+    t0 = time.time()
+    out = api.pdf_to_text(data)
+    assert time.time() - t0 < 5.0
+    assert "pre" in out
