@@ -78,16 +78,18 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def linkgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(host_id, pagerank_e9, out_degree) after ``PR_ITERS`` damped
-    power-iteration rounds from the uniform init."""
-    # The derived graph is O(links)/O(hosts) — tiny next to the corpus
-    # — and every iteration references it, so persist once: without the
+def pagerank_over_edges(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Exact-integer damped power iteration over an arbitrary
+    distinct-(src, dst) edge DataFrame (any equi-joinable node type);
+    returns (node, pr, outdeg) — shared by the oracled derived-graph
+    op below and the real extracted-link job (jobs/linkrank.py)."""
+    # The graph is O(links)/O(nodes) — tiny next to the corpus — and
+    # every iteration references it, so persist once: without the
     # cache the unrolled plan re-derives edges from the RAW SCAN per
     # iteration (measured: 59-Exchange plan, ~10 corpus re-reads at
     # K=3), which is the difference between a graph algorithm and a
     # corpus re-scan loop at 100 TB.
-    edges = _edges(spark, sf_dir).persist()
+    edges = edges.persist()
     outdeg = edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("outdeg")
     ).persist()
@@ -98,10 +100,17 @@ def linkgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n = nodes.count()  # one scalar to the driver, like kmeans' K×D pull
+    if n == 0:
+        # a corpus whose links are all self-loops yields an empty
+        # graph; emit the empty (node, pr, outdeg) frame rather than
+        # dividing by zero
+        return nodes.selectExpr(
+            "node", "CAST(0 AS BIGINT) AS pr", "CAST(0 AS BIGINT) AS outdeg"
+        )
     init = PR_SCALE // n
     base = (init * 15) // 100
     ranks = nodes.select("node", F.lit(init).cast("long").alias("pr"))
-    for _ in range(PR_ITERS):
+    for _ in range(iters):
         contrib = (
             edges.join(outdeg, "src")
             .join(ranks.selectExpr("node AS src", "pr"), "src")
@@ -119,9 +128,19 @@ def linkgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(
         outdeg, ranks.node == outdeg.src, "left"
     ).selectExpr(
+        "node",
+        "pr",
+        "coalesce(outdeg, CAST(0 AS BIGINT)) AS outdeg",
+    )
+
+
+def linkgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host_id, pagerank_e9, out_degree) after ``PR_ITERS`` damped
+    power-iteration rounds from the uniform init."""
+    return pagerank_over_edges(_edges(spark, sf_dir)).selectExpr(
         "node AS host_id",
         "pr AS pagerank_e9",
-        "coalesce(outdeg, CAST(0 AS BIGINT)) AS out_degree",
+        "outdeg AS out_degree",
     )
 
 

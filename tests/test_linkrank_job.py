@@ -1,0 +1,120 @@
+"""linkrank job: href harvesting edge cases, PDF payload sniffing,
+and the end-to-end host PageRank checked against an independent
+pure-Python reimplementation of the integer recurrence."""
+
+import datetime
+import os
+import sys
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pdf_parser_spark.html.links import extract_hrefs, outlink_hosts  # noqa: E402
+from pdf_parser_spark.ops.linkgraph import PR_SCALE  # noqa: E402
+from jobs.linkrank import host_edges, host_ranks  # noqa: E402
+
+
+def test_extract_hrefs_quoting_and_filtering():
+    markup = (
+        '<a href="http://x.test/a">A</a>'
+        "<a href='http://y.test/b'>B</a>"
+        "<a href=http://z.test/c>C</a>"
+        '<a class="k" href="/rel">rel</a>'
+        '<a href="#frag">skip</a>'
+        '<a href="javascript:void(0)">skip</a>'
+        '<a href="mailto:x@y.z">skip</a>'
+        "<a name=anchor>no href</a>"
+        '<a href="">empty</a>'
+    )
+    assert extract_hrefs(markup) == [
+        "http://x.test/a",
+        "http://y.test/b",
+        "http://z.test/c",
+        "/rel",
+    ]
+
+
+def test_outlink_hosts_resolution_and_self_loop():
+    markup = (
+        '<a href="/local">same host</a>'
+        '<a href="http://other.test/p">other</a>'
+        '<a href="https://other.test/q">dup host</a>'
+        '<a href="ftp://files.test/f">non-http</a>'
+        '<a href="HTTP://UPPER.test/">scheme case</a>'
+    )
+    hosts = outlink_hosts("http://me.test/page", markup)
+    assert hosts == ["other.test", "upper.test"]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pdf_parser_spark.spark.session import build_session
+
+    s = build_session(
+        "linkrank-tests", master="local[4]", shuffle_partitions=8
+    )
+    yield s
+    s.stop()
+
+
+_TS = datetime.datetime(2025, 1, 1)
+
+
+def _pages(spark):
+    def page(url, body):
+        return (url, _TS, bytearray(body), "", "en")
+
+    rows = [
+        page(
+            "http://a.test/p1",
+            b'<html><a href="http://b.test/x">b</a>'
+            b'<a href="//c.test/y">c</a>'
+            b'<a href="/self">self</a></html>',
+        ),
+        page("http://b.test/p", b'<a href="http://c.test/z">c</a>'),
+        page(
+            "http://c.test/p",
+            b'<a href="http://a.test/">a</a><a href="#top">frag</a>',
+        ),
+        page("http://a.test/pdf", b"%PDF-1.4 fake (not parsed for links)"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def _py_pagerank(edges, iters=3):
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    init = PR_SCALE // len(nodes)
+    base = (init * 15) // 100
+    pr = {v: init for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += pr[s] // outdeg[s]
+        pr = {v: base + (85 * contrib[v]) // 100 for v in nodes}
+    return pr, outdeg
+
+
+def test_host_ranks_match_python_recurrence(spark):
+    pages = _pages(spark)
+    edges = {(r.src, r.dst) for r in host_edges(pages).collect()}
+    assert edges == {
+        ("a.test", "b.test"),
+        ("a.test", "c.test"),
+        ("b.test", "c.test"),
+        ("c.test", "a.test"),
+    }
+    expected_pr, expected_out = _py_pagerank(sorted(edges))
+    got = {r.host: (r.pagerank_e9, r.out_degree)
+           for r in host_ranks(pages).collect()}
+    assert got == {
+        v: (expected_pr[v], expected_out.get(v, 0)) for v in expected_pr
+    }
