@@ -118,3 +118,33 @@ def test_host_ranks_match_python_recurrence(spark):
     assert got == {
         v: (expected_pr[v], expected_out.get(v, 0)) for v in expected_pr
     }
+
+
+def test_outlink_hosts_total_on_hostile_markup():
+    """Totality: arbitrary markup and hostile hrefs must never raise
+    (the UDF runs inside the extraction envelope where a raised row
+    would fail the task, not the row)."""
+    import random
+
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=400))
+    def _prop(markup):
+        hosts = outlink_hosts("http://me.test/p", markup)
+        assert isinstance(hosts, list)
+
+    _prop()
+
+    rng = random.Random(7)
+    hostile = [
+        '<a href="http://[::1">unclosed ipv6 bracket</a>',
+        '<a href="http://a:b:c/">bad port</a>',
+        "<a href=" + "x" * 5000 + ">huge</a>",
+        '<a href="https://">no host</a>',
+    ]
+    for h in hostile:
+        outlink_hosts("http://me.test/p", h)
+    blob = bytes(rng.randint(0, 255) for _ in range(4096)).decode("latin-1")
+    outlink_hosts("http://me.test/p", blob)
