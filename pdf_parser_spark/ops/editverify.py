@@ -71,9 +71,18 @@ def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("len_a") - F.col("len_b"))
             .cast("long")
             .alias("len_delta"),
+        )
+        # verified derives from the COLUMNS in a second Project so the
+        # O(TAIL_W^2) levenshtein runs once per pair; CollapseProject
+        # keeps multiply-referenced non-cheap expressions un-inlined
+        .select(
+            "doc_a",
+            "doc_b",
+            "tail_edit",
+            "len_delta",
             (
-                (F.levenshtein("tail_a", "tail_b") <= EDIT_MAX)
-                & (F.abs(F.col("len_a") - F.col("len_b")) <= EDIT_MAX)
+                (F.col("tail_edit") <= EDIT_MAX)
+                & (F.col("len_delta") <= EDIT_MAX)
             ).alias("verified"),
         )
     )
