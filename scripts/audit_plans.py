@@ -206,6 +206,11 @@ def main() -> None:
          "levenshtein" in p and "substr" in p
          and "CartesianProduct" not in verify_stage)
     )
+    # the O(TAIL_W^2) edit distance must run ONCE per pair (measured
+    # 7.1 s -> 1.6 s when the duplicated spelling was split into two
+    # Projects; CollapseProject must not re-inline it)
+    checks.append(("editverify-single-levenshtein",
+                   p.count("levenshtein") == 1))
 
     # 4o. crawl_priority: host-grained inputs only — the per-host agg
     # partial-combines before its exchange and no Python anywhere
