@@ -215,10 +215,36 @@ def curate(extracted: DataFrame) -> tuple[DataFrame, list[dict]]:
     return s5, funnel
 
 
+def with_host_rank(curated: DataFrame, ranks: DataFrame) -> DataFrame:
+    """Attach each row's host authority (jobs/linkrank.py output) as
+    ``host_rank_e9``; hosts absent from the rank table get 0.  A pure
+    quality-prior column for downstream corpus mixing — never drops
+    rows.
+
+    Scale: the rank table is O(hosts) — broadcast onto the curated
+    frame; the host key derives from ``url`` in the scan projection.
+    """
+    rank_cols = ranks.selectExpr("host AS _rh", "pagerank_e9 AS _rpr")
+    return (
+        curated.withColumn("_host", F.expr("parse_url(url, 'HOST')"))
+        .join(F.broadcast(rank_cols), F.col("_host") == F.col("_rh"), "left")
+        .withColumn(
+            "host_rank_e9",
+            F.coalesce(F.col("_rpr"), F.lit(0).cast("long")),
+        )
+        .drop("_host", "_rh", "_rpr")
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--input", required=True, help="extracted table (parquet dir)")
     ap.add_argument("--output", required=True, help="curated output dir")
+    ap.add_argument("--host-ranks", default=None,
+                    help="host-rank table from jobs/linkrank.py; when set, "
+                         "each curated row gains its host's authority as "
+                         "host_rank_e9 (a quality prior for downstream "
+                         "mixing — rows are never dropped by it)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -227,6 +253,8 @@ def main() -> None:
     spark = build_session("pdf-parser-spark-curate", master=args.master)
     extracted = spark.read.parquet(args.input)
     curated, funnel = curate(extracted)
+    if args.host_ranks:
+        curated = with_host_rank(curated, spark.read.parquet(args.host_ranks))
     # The parquet write is the ONLY action served by the stage-4 cache
     # (r2 ADVICE: a cache eviction between two dependent actions would
     # recompute the whole funnel, LSH joins included).  The token count

@@ -110,3 +110,31 @@ def test_curate_strips_cross_document_repeated_span(spark):
     assert out["https://t/b"]["text_extracted"] == b_tail
     assert out["https://t/c"]["text_extracted"] == rows[2][1]
     assert out["https://t/a"]["_n_tok"] == len(a_head.split())
+
+
+def test_with_host_rank_attaches_authority_prior(spark):
+    """--host-ranks: each curated row gains its url host's pagerank as
+    host_rank_e9 (0 for hosts absent from the rank table); rows are
+    never dropped or duplicated by the broadcast left join."""
+    from jobs.curate import with_host_rank
+
+    extracted = run_extract(_pages(spark))
+    curated, _ = curate(extracted)
+    before = {r.url for r in curated.select("url").collect()}
+
+    ranks = spark.createDataFrame(
+        [("t", 123456789, 4)],
+        "host string, pagerank_e9 long, out_degree long",
+    )
+    got = with_host_rank(curated, ranks)
+    rows = got.select("url", "host_rank_e9").collect()
+    assert {r.url for r in rows} == before
+    assert len(rows) == len(before)
+    # every fixture url lives on host "t"
+    assert all(r.host_rank_e9 == 123456789 for r in rows)
+
+    empty = spark.createDataFrame(
+        [], "host string, pagerank_e9 long, out_degree long"
+    )
+    rows0 = with_host_rank(curated, empty).select("host_rank_e9").collect()
+    assert all(r.host_rank_e9 == 0 for r in rows0)
