@@ -18,6 +18,7 @@ Registry contract: every module exposes ``QUERIES: dict[name ->
 def all_queries():
     from pdf_parser_spark.ops import (
         assembly,
+        bloom,
         clustering,
         containment,
         corpusstats,
@@ -61,6 +62,7 @@ def all_queries():
         editverify,
         selection,
         sketches,
+        bloom,
     ):
         out.update(mod.QUERIES)
     return out

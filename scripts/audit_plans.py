@@ -222,6 +222,19 @@ def main() -> None:
          "partial_count" in p and "ArrowEvalPython" not in p)
     )
 
+    # 4p. bloom_incremental_dedup: the filter build shuffles only
+    # O(m/32) word rows (bit_or partial-combines map-side) and the
+    # probe joins the BROADCAST word table — the corpus never shuffles
+    # to the probe, and nothing runs in Python
+    from pdf_parser_spark.ops.bloom import bloom_incremental_dedup
+
+    p = plan_of(bloom_incremental_dedup(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("bloom-broadcast-words-partial-bitor",
+         "BroadcastHashJoin" in p and "partial_bit_or" in p
+         and "ArrowEvalPython" not in p and "NestedLoop" not in p)
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (
