@@ -88,6 +88,10 @@ BENCH_OPS = [
     "dedup_edit_verify",
     "dsir_select",
     "cardinality_kmv",
+    "split_decontaminated",
+    "lang_temperature_sample",
+    "heavy_hitters_cms",
+    "crawl_schedule",
 ]
 
 

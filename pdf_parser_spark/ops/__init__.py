@@ -32,6 +32,7 @@ def all_queries():
         multimodal,
         selection,
         sketches,
+        splits,
         pipeline,
         similarity,
         substring,
@@ -62,6 +63,7 @@ def all_queries():
         editverify,
         selection,
         sketches,
+        splits,
         bloom,
     ):
         out.update(mod.QUERIES)

@@ -168,6 +168,34 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_bands(sig_df: DataFrame) -> DataFrame:
+    """Explode a ``(…, sig)`` frame into one row per LSH band:
+    input columns + ``(band, band_key)`` where ``band_key`` is the md5
+    of that band's signature slice.  Shared by the near-dup pair join
+    and the decontaminated-split leak check (ops/splits.py)."""
+    cols = sig_df.columns
+    return sig_df.select(
+        *cols,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * LSH_ROWS + 1, LSH_ROWS),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        ).cast("binary")
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(*cols, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle → k-minhash signature →
     band keys → bucket self-join → signature-overlap estimate.
@@ -188,27 +216,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("sig") >= 1)
         .persist()
     )
-    bands = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", b * LSH_ROWS + 1, LSH_ROWS),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        ).cast("binary")
-                    ).alias("band_key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    bands = lsh_bands(sig)
 
     a = bands.alias("a")
     b = bands.alias("b")

@@ -249,7 +249,76 @@ LEFT JOIN hosts h ON h.host = p.node
 """
 )
 
+# ---------------------------------------------------------------------------
+# crawl_schedule — per-host politeness slot assignment
+# ---------------------------------------------------------------------------
+
+BASE_DELAY_MS = 100   # politeness floor between fetches of one host
+DELAY_STEP_MS = 50    # per-host-class extra delay (hosts differ)
+DELAY_CLASSES = 5
+
+
+def crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, doc_id, fetch_rank, slot_ms): politeness-scheduled fetch
+    slots — each host's fetches are serialized ``delay_ms`` apart,
+    ordered by a deterministic priority hash (so re-runs produce the
+    identical schedule), where ``delay_ms = BASE + (host %
+    DELAY_CLASSES) * STEP`` models per-host crawl-delay directives.
+
+    Scale: the ONLY wide stage is one exchange on ``host`` feeding the
+    per-host row_number — and per-host sequencing is exactly the
+    physical constraint politeness imposes (a host's fetch queue is
+    serial no matter how it's computed), so the window's partitioning
+    IS the work's natural grain.  Skew bound = max frontier depth per
+    host, which the crawler caps anyway; no corpus-global sort exists.
+    """
+    fetches = load_table(spark, sf_dir, "documents").select(
+        (h32(F.col("doc_id").cast("string")) % N_HOSTS).alias("host"),
+        "doc_id",
+        seeded_h32(F.lit("sched"), F.col("doc_id").cast("string")).alias(
+            "prio"
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("host").orderBy("prio", "doc_id")
+    return fetches.select(
+        "host",
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("fetch_rank"),
+        (
+            (F.row_number().over(w).cast("long") - 1)
+            * (
+                F.lit(BASE_DELAY_MS)
+                + (F.col("host") % DELAY_CLASSES) * DELAY_STEP_MS
+            )
+        ).alias("slot_ms"),
+    )
+
+
+CRAWL_SCHEDULE_SQL = f"""
+WITH fetches AS (
+  SELECT {h32_sql("doc_id::VARCHAR")} % {N_HOSTS} AS host,
+         doc_id,
+         {seeded_h32_sql("'sched'", "doc_id::VARCHAR")} AS prio
+  FROM documents
+),
+ranked AS (
+  SELECT host, doc_id,
+         row_number() OVER (PARTITION BY host ORDER BY prio, doc_id)
+           AS fetch_rank
+  FROM fetches
+)
+SELECT host, doc_id, fetch_rank::BIGINT AS fetch_rank,
+       ((fetch_rank - 1)
+        * ({BASE_DELAY_MS} + (host % {DELAY_CLASSES}) * {DELAY_STEP_MS})
+       )::BIGINT AS slot_ms
+FROM ranked
+"""
+
+
 QUERIES = {
     "linkgraph_pagerank": (linkgraph_pagerank, PAGERANK_SQL),
     "crawl_priority": (crawl_priority, CRAWL_PRIORITY_SQL),
+    "crawl_schedule": (crawl_schedule, CRAWL_SCHEDULE_SQL),
 }

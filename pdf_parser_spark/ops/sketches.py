@@ -34,7 +34,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from pdf_parser_spark.ops.common import h32, h32_sql, load_table, tokens, tokens_sql
+from pdf_parser_spark.ops.common import (
+    h32,
+    h32_sql,
+    load_table,
+    seeded_h32,
+    seeded_h32_sql,
+    tokens,
+    tokens_sql,
+)
 
 KMV_K = 64          # sketch size
 HASH_SPACE = 2**32  # h32 range
@@ -94,6 +102,93 @@ SELECT source, n_sketch, kth_hash,
 FROM sk
 """
 
+# ---------------------------------------------------------------------------
+# heavy_hitters_cms — Count-Min frequency sketch vs exact top tokens
+# ---------------------------------------------------------------------------
+
+CMS_D = 4    # hash rows (independent seeds)
+CMS_W = 64   # cells per row
+HH_TOP = 20  # tokens to ground against the exact counts
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, exact_cnt, cms_est): Count-Min estimate for the exact
+    global top-``HH_TOP`` tokens, next to their true counts.
+
+    The CMS (Cormode & Muthukrishnan J.Alg'05 — public) is a D×W grid
+    of counters; a token maps to one cell per row via the seeded
+    ``h32`` family and its estimate is the **min** over its D cells —
+    an overestimate by construction (collisions only add), so
+    ``cms_est >= exact_cnt`` is an invariant the oracle equality
+    certifies cell-for-cell.
+
+    Scale: the sketch is the whole point — the grid is D*W = 256 rows
+    regardless of corpus size, and the groupBy partial-combines each
+    partition to ≤ 256 rows before the exchange, so frequency
+    monitoring at 10^12 docs shuffles kilobytes.  The exact top-K here
+    exists only to ground the estimate; production keeps just the
+    sketch.  The probe join is 20×D rows against the 256-row grid —
+    both broadcast-sized by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+    cells = toks.select(
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d"), "t"
+    ).select("d", (seeded_h32(F.col("d"), F.col("t")) % CMS_W).alias("cell"))
+    sketch = cells.groupBy("d", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("t"))
+        .limit(HH_TOP)
+    )
+    probes = exact.select(
+        "t",
+        "exact_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d"),
+    ).select(
+        "t",
+        "exact_cnt",
+        "d",
+        (seeded_h32(F.col("d"), F.col("t")) % CMS_W).alias("cell"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "cell"])
+        .groupBy("t", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(F.col("t").alias("token"), "exact_cnt", "cms_est")
+    )
+
+
+HEAVY_HITTERS_CMS_SQL = f"""
+WITH toks AS (
+  SELECT {tokens_sql("text")} AS tok FROM documents
+),
+ts AS (
+  SELECT u.t AS t FROM toks, unnest(tok) AS u(t)
+),
+cells AS (
+  SELECT g.d AS d, ({seeded_h32_sql("g.d", "t")} % {CMS_W}) AS cell
+  FROM ts, generate_series(0, {CMS_D - 1}) AS g(d)
+),
+sketch AS (
+  SELECT d, cell, count(*)::BIGINT AS cnt FROM cells GROUP BY 1, 2
+),
+exact AS (
+  SELECT t, count(*)::BIGINT AS exact_cnt FROM ts GROUP BY 1
+  ORDER BY exact_cnt DESC, t LIMIT {HH_TOP}
+),
+probes AS (
+  SELECT e.t, e.exact_cnt, g.d AS d,
+         ({seeded_h32_sql("g.d", "e.t")} % {CMS_W}) AS cell
+  FROM exact e, generate_series(0, {CMS_D - 1}) AS g(d)
+)
+SELECT p.t AS token, p.exact_cnt, min(s.cnt)::BIGINT AS cms_est
+FROM probes p JOIN sketch s USING (d, cell)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "cardinality_kmv": (cardinality_kmv, CARDINALITY_KMV_SQL),
+    "heavy_hitters_cms": (heavy_hitters_cms, HEAVY_HITTERS_CMS_SQL),
 }

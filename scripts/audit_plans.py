@@ -235,6 +235,54 @@ def main() -> None:
          and "ArrowEvalPython" not in p and "NestedLoop" not in p)
     )
 
+    # 4q. split_decontaminated: the leak check is a LEFT SEMI join on
+    # band keys (never a pair-exploding inner join), and the text
+    # column stays inside the signature stage — nothing downstream of
+    # the band exchange carries text
+    from pdf_parser_spark.ops.splits import (
+        lang_temperature_sample,
+        split_decontaminated,
+    )
+
+    p = plan_of(split_decontaminated(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("split-leftsemi-band-keys",
+         "LeftSemi" in p
+         and "text" not in p.split("LeftSemi")[0].split("Exchange")[-1])
+    )
+
+    # 4r. lang_temperature_sample: the quota table joins BROADCAST and
+    # the doc stream is never sorted or windowed (the hash gate is the
+    # whole point — no per-lang rank window)
+    p = plan_of(lang_temperature_sample(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("lts-broadcast-quota-no-window",
+         "BroadcastHashJoin" in p and "Window" not in p
+         and "ArrowEvalPython" not in p)
+    )
+
+    # 4s. heavy_hitters_cms: the sketch grid partial-combines map-side
+    # before its exchange and the probe side joins broadcast
+    from pdf_parser_spark.ops.sketches import heavy_hitters_cms
+
+    p = plan_of(heavy_hitters_cms(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("cms-partial-agg-broadcast-probe",
+         "partial_count" in p and "BroadcastHashJoin" in p
+         and "ArrowEvalPython" not in p)
+    )
+
+    # 4t. crawl_schedule: exactly ONE exchange (the per-host window's
+    # hash partitioning) — politeness serializes hosts anyway
+    from pdf_parser_spark.ops.linkgraph import crawl_schedule
+
+    p = plan_of(crawl_schedule(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("crawlschedule-single-exchange",
+         p.count("Exchange hashpartitioning") == 1
+         and "ArrowEvalPython" not in p)
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (
