@@ -213,25 +213,47 @@ class Document:
 
     def _collect_pages(self, node_ref: Ref, pages: list) -> None:
         """DFS over Kids; a leaf is Type/Page; unknown types count as a
-        page when they carry Contents or MediaBox (document.rs:678-717)."""
-        node = self.resolve(node_ref)
-        d = as_dict(node)
-        if d is None:
-            raise InvalidStructure("Expected dict in page tree")
-        type_name = as_name(d.get("Type")) or ""
-        if type_name == "Page":
-            pages.append(node)
-        elif type_name == "Pages":
-            kids = as_array(d.get("Kids"))
-            if kids is None:
-                raise InvalidStructure("Pages node missing Kids")
-            for kid in kids:
-                kid_ref = as_ref(kid)
-                if kid_ref is not None:
-                    self._collect_pages(kid_ref, pages)
-        else:
-            if "Contents" in d or "MediaBox" in d:
+        page when they carry Contents or MediaBox (document.rs:678-717).
+
+        Iterative with an explicit stack and an ANCESTOR-PATH guard:
+        the reference recurses with no cycle protection, so a /Kids
+        entry pointing back at an ancestor overflows its thread stack
+        (verified: CLI aborts, exit 134).  A web-scale engine cannot
+        abort on hostile bytes, so a kid already on the current DFS
+        path is skipped — acyclic trees (including DAGs that share a
+        leaf under two parents, which the reference visits TWICE and
+        so do we) traverse in exactly the reference's order at any
+        depth the Rust stack survives, while cycles terminate with the
+        reachable pages."""
+        stack: list[tuple[bool, Ref]] = [(False, node_ref)]
+        path: set[Ref] = set()
+        while stack:
+            leaving, ref = stack.pop()
+            if leaving:
+                path.discard(ref)
+                continue
+            if ref in path:  # back-edge: the reference would abort here
+                continue
+            node = self.resolve(ref)
+            d = as_dict(node)
+            if d is None:
+                raise InvalidStructure("Expected dict in page tree")
+            type_name = as_name(d.get("Type")) or ""
+            if type_name == "Page":
                 pages.append(node)
+            elif type_name == "Pages":
+                kids = as_array(d.get("Kids"))
+                if kids is None:
+                    raise InvalidStructure("Pages node missing Kids")
+                path.add(ref)
+                stack.append((True, ref))
+                for kid in reversed(kids):
+                    kid_ref = as_ref(kid)
+                    if kid_ref is not None:
+                        stack.append((False, kid_ref))
+            else:
+                if "Contents" in d or "MediaBox" in d:
+                    pages.append(node)
 
     def page_count(self) -> int:
         """Counts collected leaves — deliberately NOT the /Count field

@@ -1222,3 +1222,138 @@ def test_we_terminate_on_pair_breaking_contents_split():
     out = api.pdf_to_text(data)
     assert time.time() - t0 < 5.0
     assert "pre" in out
+
+
+# -- page-tree pathology fuzz -------------------------------------------------
+#
+# The page walk (document.rs:678-717) recurses over /Kids with no
+# visited set and no depth bound.  Three regimes matter at web scale:
+# ordinary shapes must stay byte-identical, deep-but-legal chains must
+# match as far as both engines reach, and CYCLES must not take the
+# executor down.
+
+
+def _page_leaf(b, num: int, parent: int, text: bytes,
+               with_type: bool = True, extra: bytes = b"") -> None:
+    type_part = b"/Type /Page " if with_type else b""
+    # the stream lives at num+1: every caller allocates page numbers
+    # on a stride >= 2, so +1 can never collide with another node
+    b.add(num, b"<< %s/Parent %d 0 R /MediaBox [0 0 612 792] "
+          b"/Contents %d 0 R "
+          b"/Resources << /Font << /F1 5 0 R >> >> %s>>"
+          % (type_part, parent, num + 1, extra))
+    b.add_stream(num + 1, b"",
+                 b"BT /F1 12 Tf 50 700 Td (" + text + b") Tj ET", None)
+
+
+def gen_page_tree_pdf(rng: random.Random) -> bytes:
+    """Random legal page tree: nested /Pages fan-out (depth ≤ 4),
+    leaves that are typed /Page, typeless-with-Contents (counted as a
+    page, document.rs:707-711), and typeless-without-Contents
+    (skipped) interleaved in random order."""
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    next_num = [10]
+
+    def build_node(num: int, parent: int, depth: int) -> None:
+        n_kids = rng.randint(1, 3)
+        kids = []
+        for _ in range(n_kids):
+            kid = next_num[0]
+            next_num[0] += 10
+            kids.append(kid)
+            roll = rng.random()
+            if depth < 4 and roll < 0.35:
+                build_node(kid, num, depth + 1)
+            elif roll < 0.75:
+                _page_leaf(b, kid, num, b"leaf %d" % kid)
+            elif roll < 0.9:
+                # typeless node WITH Contents: counts as a page
+                _page_leaf(b, kid, num, b"untyped %d" % kid,
+                           with_type=False)
+            else:
+                # typeless node with neither Contents nor MediaBox:
+                # silently skipped by both engines
+                b.add(kid, b"<< /Parent %d 0 R >>" % num)
+        b.add(num, b"<< /Type /Pages /Kids [%s] /Count %d >>"
+              % (b" ".join(b"%d 0 R" % k for k in kids), len(kids)))
+
+    build_node(2, 1, 0)
+    return b.build()
+
+
+def test_fuzz_page_tree_byte_identity(ref_bin):
+    rng = random.Random(SEED + 11)
+    for doc_i in range(120):
+        data = gen_page_tree_pdf(rng)
+        diffs = _run_diff(ref_bin, data, f"pagetree-{doc_i}")
+        if diffs:
+            sys.stderr.write(f"repro: seed={SEED + 11} doc={doc_i}\n")
+            sys.stderr.write(data.hex()[:4000] + "\n")
+        assert not diffs, diffs[:5]
+
+
+def test_deep_page_chain_byte_identity(ref_bin):
+    """A 200-deep single-spine /Pages chain with one leaf at the
+    bottom — legal, just unusually nested (mass-produced PDF
+    generators emit these).  Both engines must walk it and agree."""
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 10 0 R >>")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    depth = 200
+    for i in range(depth):
+        num = 10 + i
+        kid = num + 1 if i < depth - 1 else 10 + depth
+        b.add(num, b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % kid)
+    _page_leaf(b, 10 + depth, 10 + depth - 1, b"bottom of the spine")
+    data = b.build()
+    diffs = _run_diff(ref_bin, data, "deep-chain")
+    assert not diffs, diffs[:5]
+
+
+def test_cyclic_page_tree_terminates_with_reachable_pages():
+    """Divergence pinned on purpose (same policy as the stray-bracket
+    hang and the tolerance-chain panic): a /Pages node whose /Kids
+    contains itself (or an ancestor) makes the reference recurse until
+    the thread stack overflows — verified by hand this round: the CLI
+    aborts with 'has overflowed its stack' / exit 134
+    (document.rs:678-717 has no visited set).  A web-scale engine
+    cannot inherit a hard abort from hostile bytes: OUR walk is an
+    explicit-stack DFS with an ancestor-path guard (document.py
+    _collect_pages), so the cycle edge is skipped and extraction
+    finishes with the reachable pages.  Not run against the binary —
+    it would abort the suite; the crash signature is cited instead."""
+    for cycle_kind in ("self", "ancestor"):
+        b = PdfBuilder()
+        b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        if cycle_kind == "self":
+            b.add(2, b"<< /Type /Pages /Kids [3 0 R 2 0 R] /Count 1 >>")
+            _page_leaf(b, 3, 2, b"before the loop")
+        else:
+            b.add(2, b"<< /Type /Pages /Kids [6 0 R] /Count 1 >>")
+            b.add(6, b"<< /Type /Pages /Kids [3 0 R 2 0 R] /Count 1 >>")
+            _page_leaf(b, 3, 6, b"before the loop")
+        data = b.build()
+        r = api.extract_document(data)
+        assert r["error_kind"] is None, (cycle_kind, r["error_kind"])
+        assert "before the loop" in r["text"], cycle_kind
+        assert "before the loop" in api.pdf_to_text(data)
+
+
+def test_dag_shared_leaf_duplicates_like_reference(ref_bin):
+    """A leaf referenced under TWO /Pages parents is NOT a cycle — the
+    reference visits it twice and emits the page twice; the path guard
+    must not dedup it."""
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(2, b"<< /Type /Pages /Kids [6 0 R 7 0 R] /Count 2 >>")
+    b.add(6, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(7, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    _page_leaf(b, 3, 6, b"shared leaf")
+    data = b.build()
+    assert api.pdf_to_text(data).count("shared leaf") == 2
+    diffs = _run_diff(ref_bin, data, "dag-shared-leaf")
+    assert not diffs, diffs[:5]
