@@ -92,6 +92,7 @@ BENCH_OPS = [
     "lang_temperature_sample",
     "heavy_hitters_cms",
     "crawl_schedule",
+    "robots_filter",
 ]
 
 

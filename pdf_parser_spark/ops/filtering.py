@@ -337,9 +337,114 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# robots_filter — robots.txt-style disallow-prefix admission
+# ---------------------------------------------------------------------------
+#
+# A crawler's fetch frontier is gated per host by robots rules; the
+# production simplification (what CCBot/Heritrix actually enforce for
+# the overwhelming majority of robots.txt files) is a set of
+# Disallow PATH-PREFIX rules per host.  A fetch is admitted iff no
+# rule of its host prefixes its path.
+#
+# The driver's tables carry no fetch log, so both engines derive the
+# identical one from `documents` (the ops/webcorpus.py convention):
+# host class from doc_id, path from a deterministic 4-way shape.  The
+# rules table is likewise derived per host class — so some hosts have
+# no rules at all (the common case) and some paths dodge every rule.
+#
+# Scale: the rules table is O(hosts × rules/host) — BROADCAST; the
+# fetch stream joins it on host equality with the prefix test as a
+# residual predicate, then a per-fetch bool_or collapses the ≤ R
+# matched rules.  The corpus never shuffles: the only exchange in the
+# plan is the final aggregate's, keyed on the fetch id.  At 10^12
+# fetches this is a broadcast-join + partial-combined agg — the same
+# shape as url_host_filter one level deeper (prefix vs registered
+# domain).
+
+ROBOTS_N_HOSTS = 40
+
+def _robots_fetches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"doc_id % {ROBOTS_N_HOSTS} AS host",
+        "CASE doc_id % 4 WHEN 0 THEN '/private/p' || doc_id"
+        "  WHEN 1 THEN '/tmp/cache/' || doc_id"
+        "  WHEN 2 THEN '/articles/' || doc_id"
+        "  ELSE '/' || doc_id END AS path",
+    )
+
+
+_ROBOTS_FETCHES_SQL = f"""
+fetches AS (
+  SELECT doc_id, doc_id % {ROBOTS_N_HOSTS} AS host,
+         CASE doc_id % 4 WHEN 0 THEN '/private/p' || doc_id
+           WHEN 1 THEN '/tmp/cache/' || doc_id
+           WHEN 2 THEN '/articles/' || doc_id
+           ELSE '/' || doc_id END AS path
+  FROM documents
+)"""
+
+
+def _robots_rules(spark: SparkSession) -> DataFrame:
+    # hosts % 3 == 0 disallow /private; hosts % 5 == 0 disallow /tmp;
+    # host 7 additionally walls off /articles — other hosts are open
+    return spark.range(ROBOTS_N_HOSTS).selectExpr(
+        "id AS host",
+        "CASE WHEN id % 3 = 0 THEN '/private' END AS r1",
+        "CASE WHEN id % 5 = 0 THEN '/tmp' END AS r2",
+        "CASE WHEN id = 7 THEN '/articles' END AS r3",
+    ).selectExpr(
+        "host", "explode(array(r1, r2, r3)) AS prefix"
+    ).filter(F.col("prefix").isNotNull())
+
+
+_ROBOTS_RULES_SQL = f"""
+rules AS (
+  SELECT host, u.prefix
+  FROM (
+    SELECT g.id AS host,
+           [CASE WHEN g.id % 3 = 0 THEN '/private' END,
+            CASE WHEN g.id % 5 = 0 THEN '/tmp' END,
+            CASE WHEN g.id = 7 THEN '/articles' END] AS ps
+    FROM generate_series(0, {ROBOTS_N_HOSTS - 1}) AS g(id)
+  ), unnest(ps) AS u(prefix)
+  WHERE u.prefix IS NOT NULL
+)"""
+
+
+def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, host, path, allowed): disallow-prefix robots gate over
+    the derived fetch log."""
+    fetches = _robots_fetches(spark, sf_dir)
+    rules = _robots_rules(spark)
+    hit = F.col("prefix").isNotNull() & F.col("path").startswith(
+        F.col("prefix")
+    )
+    return (
+        fetches.join(F.broadcast(rules), "host", "left")
+        .groupBy("doc_id", "host", "path")
+        .agg((~F.coalesce(F.max(hit), F.lit(False))).alias("allowed"))
+    )
+
+
+ROBOTS_FILTER_SQL = f"""
+WITH {_ROBOTS_FETCHES_SQL.lstrip()},
+{_ROBOTS_RULES_SQL.lstrip()}
+SELECT f.doc_id, f.host, f.path,
+       NOT COALESCE(
+         max(r.prefix IS NOT NULL AND starts_with(f.path, r.prefix)),
+         FALSE) AS allowed
+FROM fetches f LEFT JOIN rules r USING (host)
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "url_host_filter": (url_host_filter, URL_HOST_FILTER_SQL),
     "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "quality_classifier": (quality_classifier, QUALITY_CLASSIFIER_SQL),
     "doclen_percentiles": (doclen_percentiles, DOCLEN_PERCENTILES_SQL),
+    "robots_filter": (robots_filter, ROBOTS_FILTER_SQL),
 }

@@ -283,6 +283,19 @@ def main() -> None:
          and "ArrowEvalPython" not in p)
     )
 
+    # 4u. robots_filter: the rules side is BROADCAST with the prefix
+    # test as a residual; the corpus sees one exchange (the verdict
+    # aggregate), never a sort-merge join
+    from pdf_parser_spark.ops.filtering import robots_filter
+
+    p = plan_of(robots_filter(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("robots-broadcast-rules",
+         "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+         and "ArrowEvalPython" not in p
+         and p.count("Exchange hashpartitioning") == 1)
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (

@@ -106,3 +106,22 @@ def test_doclen_percentiles_match_bruteforce(spark):
         for p in filtering.PCT_POINTS:
             rank = math.ceil(len(vals) * p / 100)  # 1-based
             assert getattr(r, f"p{p}") == vals[rank - 1], (lang, p)
+
+
+def test_robots_filter_disallow_prefix_semantics(spark):
+    rows = filtering.robots_filter(spark, SF_DIR).collect()
+    assert rows
+    saw_block = saw_open_host = False
+    for r in rows:
+        disallowed = (
+            (r.host % 3 == 0 and r.path.startswith("/private"))
+            or (r.host % 5 == 0 and r.path.startswith("/tmp"))
+            or (r.host == 7 and r.path.startswith("/articles"))
+        )
+        assert r.allowed == (not disallowed), (r.host, r.path, r.allowed)
+        if disallowed:
+            saw_block = True
+        if r.host % 3 and r.host % 5 and r.host != 7:
+            assert r.allowed  # rule-free hosts admit everything
+            saw_open_host = True
+    assert saw_block and saw_open_host
