@@ -1,0 +1,137 @@
+"""Charset sniffing for web-crawl HTML bytes (HTML5 prescan).
+
+Common-Crawl-scale reality: a large minority of pages are not UTF-8
+(windows-125x, iso-8859-*, shift_jis, gbk, euc-kr, …), and decoding
+them as UTF-8-with-replacement shreds every non-ASCII character into
+U+FFFD before the boilerplate stripper ever sees the text.  This
+module implements the deterministic detection cascade the HTML5 spec
+prescribes (WHATWG HTML §13.2.3.2 "determining the character
+encoding" — public), without any statistical guessing so the result
+is a pure function of the bytes:
+
+1. **BOM** (highest priority, overrides everything): UTF-8,
+   UTF-16 LE/BE.
+2. **meta prescan** over the first ``PRESCAN_BYTES`` bytes:
+   ``<meta charset=X>`` or
+   ``<meta http-equiv=content-type content="...; charset=X">``.
+3. **Fallback**: try strict UTF-8; on failure **windows-1252** (the
+   WHATWG default for the no-information case — a superset of
+   latin-1 in the 0x80-0x9F range, and total: every byte decodes).
+
+Label → codec mapping follows the WHATWG encoding registry for the
+labels that matter at crawl scale; x-user-defined and unknown labels
+fall through to the fallback chain.  UTF-16 meta declarations are
+ignored per spec (a 16-bit page that reached the ASCII prescan isn't
+UTF-16) and treated as UTF-8.
+
+Pure stdlib codecs — deterministic on every platform — and total:
+``sniff_decode`` never raises, whatever the bytes.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+
+PRESCAN_BYTES = 1024
+
+# WHATWG label → Python codec, for the high-traffic labels.  Python's
+# codec registry already accepts most spellings; this map pins the
+# WHATWG-mandated differences (latin-1 family → windows-1252 etc.).
+_WHATWG_ALIASES = {
+    "unicode-1-1-utf-8": "utf-8",
+    "utf8": "utf-8",
+    "utf-8": "utf-8",
+    "ascii": "windows-1252",
+    "us-ascii": "windows-1252",
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "latin1": "windows-1252",
+    "l1": "windows-1252",
+    "cp1252": "windows-1252",
+    "windows-1252": "windows-1252",
+    "iso-8859-9": "windows-1254",
+    "latin5": "windows-1254",
+    "cp1251": "windows-1251",
+    "windows-1251": "windows-1251",
+    "shift-jis": "shift_jis",
+    "shift_jis": "shift_jis",
+    "sjis": "shift_jis",
+    "ms932": "shift_jis",
+    "gb2312": "gbk",
+    "gb_2312": "gbk",
+    "gbk": "gbk",
+    "big5": "big5",
+    "euc-jp": "euc-jp",
+    "euc-kr": "euc-kr",
+    "korean": "euc-kr",
+    "ks_c_5601-1987": "euc-kr",
+    "koi8-r": "koi8-r",
+    "koi8": "koi8-r",
+    "tis-620": "cp874",
+    "windows-874": "cp874",
+    "iso-8859-11": "cp874",
+}
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]{0,256}?charset\s*=\s*["']?\s*([a-zA-Z0-9._:-]{1,40})""",
+    re.IGNORECASE,
+)
+
+
+def _resolve_label(label: str) -> str | None:
+    """WHATWG label → Python codec name, or None if unusable."""
+    label = label.strip().strip("\"'").lower()
+    if not label:
+        return None
+    codec = _WHATWG_ALIASES.get(label)
+    if codec is None:
+        try:
+            codec = codecs.lookup(label).name
+        except LookupError:
+            return None
+    if codec.startswith(("utf-16", "utf-32", "utf_16", "utf_32")):
+        # spec: a 16/32-bit meta declaration on a byte-prescannable
+        # page is a lie; treat as UTF-8
+        return "utf-8"
+    return codec
+
+
+def sniff_encoding(data: bytes) -> tuple[str, str]:
+    """(codec, how) — ``how`` is 'bom' | 'meta' | 'fallback'."""
+    if data.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig", "bom"
+    if data.startswith(b"\xff\xfe"):
+        return "utf-16-le", "bom"
+    if data.startswith(b"\xfe\xff"):
+        return "utf-16-be", "bom"
+    head = bytes(data[:PRESCAN_BYTES])
+    m = _META_CHARSET_RE.search(head)
+    if m:
+        codec = _resolve_label(m.group(1).decode("ascii", "replace"))
+        if codec is not None:
+            return codec, "meta"
+    try:
+        data.decode("utf-8")
+        return "utf-8", "fallback"
+    except (UnicodeDecodeError, ValueError):
+        return "windows-1252", "fallback"
+
+
+def sniff_decode(data: bytes | bytearray | memoryview) -> tuple[str, str]:
+    """Decode crawl HTML bytes to text: (text, codec_used).
+
+    Total: a declared codec that fails mid-stream degrades to
+    errors='replace' under the SAME codec (the spec's decoder is
+    replacement-based too), so the result is always defined.
+    """
+    data = bytes(data)
+    codec, _how = sniff_encoding(data)
+    try:
+        text = data.decode(codec)
+    except (UnicodeDecodeError, ValueError):
+        text = data.decode(codec, errors="replace")
+    if codec.startswith("utf-16") and text.startswith("﻿"):
+        # utf-8-sig strips its BOM; the utf-16-le/-be codecs do not
+        text = text[1:]
+    return text, codec

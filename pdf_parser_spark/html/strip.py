@@ -410,7 +410,12 @@ def segment_blocks(html: bytes | str, engine: str = "fast") -> list[Block]:
     reference implementation.
     """
     if isinstance(html, (bytes, bytearray, memoryview)):
-        html = bytes(html).decode("utf-8", errors="replace")
+        # charset cascade (BOM → meta prescan → UTF-8-else-1252):
+        # crawl HTML is ~1/3 non-UTF-8 and a blind utf-8/replace
+        # shreds it to U+FFFD before segmentation ever runs
+        from pdf_parser_spark.html.charset import sniff_decode
+
+        html, _codec = sniff_decode(html)
     p = _BlockParser()
     if engine == "stdlib":
         p.feed(html)
