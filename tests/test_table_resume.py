@@ -5,6 +5,7 @@ committed work; torn snapshots (no manifest entry) are invisible.
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -372,3 +373,38 @@ def test_backend_method_symmetry():
         ps = inspect.signature(getattr(SnapshotParquetTable, meth)).parameters
         pi = inspect.signature(getattr(IcebergTable, meth)).parameters
         assert list(ps) == list(pi), meth
+
+
+def test_spark_submit_py_files_launch(spark, pages, tmp_path):
+    """The LITERAL north-rule launch mode: `spark-submit --py-files
+    dist/engine.zip jobs/extract.py` as an external process, driver
+    code resolving the engine from the zip (not the repo checkout).
+    The in-process python tests above cover the job logic; this one
+    covers the deployment packaging — a missing module in
+    scripts/package.py would only ever fail HERE."""
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "package.py")],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    inp = str(tmp_path / "pages.parquet")
+    out = str(tmp_path / "extracted")
+    pages.write.parquet(inp)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--py-files", os.path.join(repo, "dist", "engine.zip"),
+         os.path.join(repo, "jobs", "extract.py"),
+         "--input", inp, "--output", out, "--format", "txt",
+         "--heavy-threshold", "100000"],
+        capture_output=True, text=True, env=env, timeout=300,
+        cwd=str(tmp_path),  # NOT the repo: imports must come from the zip
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["snapshots"][0]["row_count"] == pages.count()
+    assert manifest["snapshots"][0]["lineage"]
