@@ -132,6 +132,10 @@ def _parse_bfrange(section: str, cid_map: dict[int, str]) -> None:
                 else:
                     break
             for i, dst in enumerate(dst_values):
-                src = src_lo + i
+                # the reference computes `src_lo + i as u16`, which
+                # WRAPS in its release build (cmap.rs:142, overflow
+                # checks off) — a wrapped src can pass `src <= src_hi`
+                # and insert a low CID, so the mask is load-bearing
+                src = (src_lo + i) & 0xFFFF
                 if src <= src_hi:
                     _put(cid_map, src, dst)

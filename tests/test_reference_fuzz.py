@@ -1357,3 +1357,159 @@ def test_dag_shared_leaf_duplicates_like_reference(ref_bin):
     assert api.pdf_to_text(data).count("shared leaf") == 2
     diffs = _run_diff(ref_bin, data, "dag-shared-leaf")
     assert not diffs, diffs[:5]
+
+
+# -- filter-chain fuzz --------------------------------------------------------
+#
+# /Filter may be a NAME or an ARRAY applied in list order
+# (decode/mod.rs:29-44, engine/filters.py get_filters/decode_stream).
+# Fuzz random hex/flate chains (depth 0-3), hex spelling variants
+# (case, whitespace, '>' terminator), array-of-one vs bare name, and
+# unsupported members at random chain positions (both engines must
+# fail the document identically).
+
+
+def _hex_encode(rng: random.Random, data: bytes) -> bytes:
+    h = data.hex()
+    if rng.random() < 0.5:
+        h = h.upper()
+    if rng.random() < 0.5:
+        k = rng.randint(4, 40)
+        h = "\n".join(h[i:i + k] for i in range(0, len(h), k))
+    if rng.random() < 0.7:
+        h += ">"
+    return h.encode()
+
+
+def gen_filter_chain_pdf(rng: random.Random) -> bytes:
+    content = b"BT /F1 12 Tf 50 700 Td (chain %d) Tj 0 -20 Td (line two) Tj ET" % rng.randint(0, 999)
+    depth = rng.randint(0, 3)
+    chain = [rng.choice(["ASCIIHexDecode", "FlateDecode"]) for _ in range(depth)]
+    if rng.random() < 0.2:
+        chain.insert(rng.randint(0, len(chain)), "LZWDecode")
+    payload = content
+    for name in reversed(chain):  # decode applies list order; encode reversed
+        if name == "FlateDecode":
+            payload = zlib.compress(payload)
+        elif name == "ASCIIHexDecode":
+            payload = _hex_encode(rng, payload)
+        # LZWDecode: leave payload as-is — decode errors before use
+    if not chain:
+        filt = None
+    elif len(chain) == 1 and rng.random() < 0.5:
+        filt = b"/" + chain[0].encode()
+    else:
+        filt = b"[ " + b" ".join(b"/" + c.encode() for c in chain) + b" ]"
+
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add_stream(4, b"", payload, filt)
+    return b.build()
+
+
+def test_fuzz_filter_chain_byte_identity(ref_bin):
+    rng = random.Random(SEED + 13)
+    for doc_i in range(150):
+        data = gen_filter_chain_pdf(rng)
+        diffs = _run_diff(ref_bin, data, f"filterchain-{doc_i}")
+        if diffs:
+            sys.stderr.write(f"repro: seed={SEED + 13} doc={doc_i}\n")
+            sys.stderr.write(data.hex()[:4000] + "\n")
+        assert not diffs, diffs[:5]
+
+
+# -- ToUnicode CMap pathology fuzz --------------------------------------------
+#
+# The reference's CMap parser (font/cmap.rs) is substring-driven and
+# junk-tolerant in very specific ways our port must replicate bit for
+# bit: hex values keep only hexdigits until '>' and OVERFLOW TO 0 past
+# four digits (u16 from_str_radix unwrap_or(0)); surrogate/invalid dst
+# codepoints are skipped (char::from_u32); the single-dst bfrange adds
+# with u16 WRAPPING (release build, no overflow checks), and the
+# array-form src walk wraps too — a wrapped src can re-enter the
+# src<=hi window and insert a LOW cid.  Random cmaps below hit all of
+# those plus multi-section, comment-laced, and unterminated shapes.
+
+
+def gen_cmap_pathology_pdf(rng: random.Random) -> bytes:
+    parts = [b"/CIDInit /ProcSet findresource begin\nbegincmap\n"]
+    cids_used = []
+
+    def hx(v: int, junk: bool) -> bytes:
+        s = b"%04X" % (v & 0xFFFF)
+        if junk and rng.random() < 0.5:
+            s = s[:2] + rng.choice([b" ", b"\n", b"zz", b"--"]) + s[2:]
+        if rng.random() < 0.1:
+            s = b"00" + s  # >4 digits -> reference parses 0
+        return b"<" + s + b">"
+
+    for _ in range(rng.randint(1, 4)):
+        kind = rng.choice(["bfchar", "range1", "rangearr"])
+        if kind == "bfchar":
+            n = rng.randint(1, 4)
+            sec = [b"%d beginbfchar\n" % n]
+            for _ in range(n):
+                src = rng.randint(1, 0xFFFF)
+                dst = rng.choice(
+                    [rng.randint(0x21, 0x7E), 0xD800 + rng.randint(0, 0x7FF),
+                     rng.randint(0x3000, 0x30FF)]
+                )
+                sec.append(hx(src, True) + b" " + hx(dst, True) + b"\n")
+                cids_used.append(src)
+            sec.append(b"endbfchar\n")
+        elif kind == "range1":
+            lo = rng.randint(1, 0xFFF0)
+            hi = lo + rng.randint(0, 12)
+            dst = rng.choice([rng.randint(0x21, 0x7E),
+                              0xFFFA + rng.randint(0, 5),  # dst wrap zone
+                              0xD7FA + rng.randint(0, 10)])  # surrogate edge
+            sec = [b"1 beginbfrange\n",
+                   hx(lo, False) + b" " + hx(hi, False) + b" "
+                   + hx(dst, False) + b"\n", b"endbfrange\n"]
+            cids_used.extend(range(lo, min(hi, lo + 12) + 1))
+        else:
+            lo = rng.choice([rng.randint(1, 0xFF00), 0xFFFE])  # src wrap zone
+            hi = min(0xFFFF, lo + rng.randint(0, 6))
+            dsts = [rng.randint(0x21, 0x7E) for _ in range(rng.randint(1, 8))]
+            sec = [b"1 beginbfrange\n", hx(lo, False) + b" " + hx(hi, False)
+                   + b" [" + b" ".join(hx(d, False) for d in dsts) + b"]\n",
+                   b"endbfrange\n"]
+            cids_used.extend(range(lo, hi + 1))
+        parts.extend(sec)
+        if rng.random() < 0.3:
+            parts.append(b"%% stray comment with beginbfchar inside? no: ")
+            parts.append(rng.choice([b"\n", b" endbfchar\n", b" <dead>\n"]))
+    if rng.random() < 0.15:
+        parts.append(b"3 beginbfchar\n<0099> <0050>\n")  # unterminated
+    else:
+        parts.append(b"endcmap end\n")
+    cmap = b"".join(parts)
+
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    probe = rng.sample(cids_used, min(len(cids_used), 12)) + [0, 1, 0xFFFF]
+    content = (b"BT /F1 12 Tf 72 720 Td <"
+               + b" ".join(b"%04X" % (c & 0xFFFF) for c in probe)
+               + b"> Tj ET")
+    b.add_stream(4, b"", content)
+    b.add(5, b"<< /Type /Font /Subtype /Type0 /BaseFont /Fz /ToUnicode 6 0 R >>")
+    b.add_stream(6, b"", cmap)
+    return b.build()
+
+
+def test_fuzz_cmap_pathology_byte_identity(ref_bin):
+    rng = random.Random(SEED + 17)
+    for doc_i in range(150):
+        data = gen_cmap_pathology_pdf(rng)
+        diffs = _run_diff(ref_bin, data, f"cmap-{doc_i}")
+        if diffs:
+            sys.stderr.write(f"repro: seed={SEED + 17} doc={doc_i}\n")
+            sys.stderr.write(data.hex()[:6000] + "\n")
+        assert not diffs, diffs[:5]
