@@ -30,8 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
-from pdf_parser_spark.ops.common import seeded_h32, tokens
-from pdf_parser_spark.ops.sketches import CMS_D, CMS_W
+from pdf_parser_spark.ops.common import h32, tokens
+from pdf_parser_spark.ops.sketches import CMS_D, CMS_W, cms_cell
 from pdf_parser_spark.streaming.job import PAGES_STREAM_SCHEMA, _committed
 
 
@@ -54,13 +54,12 @@ def stream_heavy_hitters(
 
     cells = (
         pages.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .select(h32(F.col("t")).alias("h"))
         .select(
             F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d"),
-            "t",
+            "h",
         )
-        .select(
-            "d", (seeded_h32(F.col("d"), F.col("t")) % CMS_W).alias("cell")
-        )
+        .select("d", cms_cell("h", "d").alias("cell"))
     )
     grid = cells.groupBy("d", "cell").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -97,15 +96,13 @@ def estimate_counts(grid: DataFrame, probe_tokens: list[str]) -> DataFrame:
     spark = grid.sparkSession
     probes = (
         spark.createDataFrame([(t,) for t in probe_tokens], "token string")
+        .withColumn("h", h32(F.col("token")))
         .select(
             "token",
             F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d"),
+            "h",
         )
-        .select(
-            "token",
-            "d",
-            (seeded_h32(F.col("d"), F.col("token")) % CMS_W).alias("cell"),
-        )
+        .select("token", "d", cms_cell("h", "d").alias("cell"))
     )
     return (
         probes.join(F.broadcast(grid), ["d", "cell"])

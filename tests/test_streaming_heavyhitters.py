@@ -42,10 +42,8 @@ def _write_pages(spark, path, rows):
     df.coalesce(1).write.parquet(path)
 
 
-def _seeded_h32(d: int, tok: str) -> int:
-    return int(
-        hashlib.md5(f"{d}|{tok}".encode()).hexdigest()[:8], 16
-    )
+def _h32(tok: str) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
 
 
 def _expected_grid(texts):
@@ -54,8 +52,9 @@ def _expected_grid(texts):
         for tok in txt.split():
             if not tok:
                 continue
+            h = _h32(tok)
             for d in range(CMS_D):
-                key = (d, _seeded_h32(d, tok) % CMS_W)
+                key = (d, (h >> (6 * d)) % CMS_W)
                 grid[key] = grid.get(key, 0) + 1
     return grid
 
