@@ -86,10 +86,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join — without a materialization Catalyst's CollapseProject
     # re-runs it per consumer (same hazard measured 10x on the LSH
     # signature, dedup.py)
+    # no size(shs) post-filter: the corpus pre-filters tok >=
+    # SHINGLE_N, which is exactly the emptiness condition — and a
+    # post-UDF filter would make Filter and Project each evaluate the
+    # hash UDF (per-operator Arrow extraction; measured 2x on the LSH
+    # signature, dedup.py)
     hashed = (
         _containment_corpus(spark, sf_dir)
         .select("doc_id", udf(F.col("text")).alias("shs"))
-        .filter(F.size("shs") >= 1)
         .withColumn("n", F.size("shs").cast("long"))
         .persist()
     )

@@ -160,12 +160,19 @@ def _make_shingle_hashes_udf():
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + distinct shingle-hash set ``shs`` (empty sets dropped)."""
-    corpus = dedup_corpus(spark, sf_dir)
-    udf = _make_shingle_hashes_udf()
-    return corpus.select("doc_id", udf(F.col("text")).alias("shs")).filter(
-        F.size("shs") >= 1
+    """doc_id + distinct shingle-hash set ``shs`` (empty sets dropped).
+
+    The emptiness guard runs BEFORE the UDF, on the exact condition
+    that makes the set empty (< SHINGLE_N tokens): filtering on
+    ``size(shs)`` AFTER the UDF puts one evaluation in the Filter and
+    a second in the Project — Arrow UDF extraction is per-operator, so
+    the expensive shingle hash ran TWICE per row (measured: this
+    doubling was most of dedup_edit_verify's 6.7 s)."""
+    corpus = dedup_corpus(spark, sf_dir).filter(
+        F.size(tokens(F.col("text"))) >= SHINGLE_N
     )
+    udf = _make_shingle_hashes_udf()
+    return corpus.select("doc_id", udf(F.col("text")).alias("shs"))
 
 
 def lsh_bands(sig_df: DataFrame) -> DataFrame:
@@ -210,10 +217,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side (CollapseProject).  At cluster scale this is where
     # signatures get written to their own table.
     sig_udf = _make_sig_udf()
+    # emptiness guard BEFORE the UDF (see _shingled: a size(sig)
+    # post-filter makes Filter and Project each evaluate the UDF)
     sig = (
         dedup_corpus(spark, sf_dir)
+        .filter(F.size(tokens(F.col("text"))) >= SHINGLE_N)
         .select("doc_id", sig_udf(F.col("text")).alias("sig"))
-        .filter(F.size("sig") >= 1)
         .persist()
     )
     bands = lsh_bands(sig)

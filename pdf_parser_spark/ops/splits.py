@@ -45,10 +45,12 @@ from pdf_parser_spark.ops.common import (
     load_table,
     seeded_h32,
     seeded_h32_sql,
+    tokens,
 )
 from pdf_parser_spark.ops.dedup import (
     LSH_BANDS,
     LSH_ROWS,
+    SHINGLE_N,
     _make_sig_udf,
     _minhash_sql_prelude,
     lsh_bands,
@@ -74,10 +76,12 @@ def split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     a non-empty, checkable leak set.
     """
     sig_udf = _make_sig_udf()
+    # emptiness guard BEFORE the UDF (a size(sig) post-filter makes
+    # Filter and Project each evaluate the UDF — see dedup._shingled)
     sig = (
         dedup_corpus(spark, sf_dir)
+        .filter(F.size(tokens(F.col("text"))) >= SHINGLE_N)
         .select("doc_id", sig_udf(F.col("text")).alias("sig"))
-        .filter(F.size("sig") >= 1)
         .withColumn(
             "is_val",
             seeded_h32(F.lit("split"), F.col("doc_id").cast("string"))

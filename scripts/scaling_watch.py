@@ -59,27 +59,40 @@ while time.time() < DEADLINE:
     log({"kind": "fire", "capacity": p["parallel_capacity_frac"]})
     open(LOCK, "w").write("scaling_watch")
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
-            capture_output=True, text=True, timeout=3600,
-        )
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
-        try:
-            out = json.loads(line)
-        except json.JSONDecodeError:
-            out = {"raw": line[:500], "err": proc.stderr[-500:]}
-        log({"kind": "result", **out})
-        eff = out.get("value") or 0.0
-        if eff > best_eff:
-            best_eff = eff
-            with open(os.path.join(REPO, "scaling_best.json"), "w") as f:
-                json.dump(out, f, indent=1)
-        if eff >= 0.8:
-            ok = [pr for pr in out.get("host_probes", [])
-                  if pr.get("parallel_capacity_frac", 0) >= 0.6]
-            if ok:
-                log({"kind": "done", "efficiency": eff})
-                break
+        done = True
+        # both scaling modes: thread-count (local[8] vs local[32]) and
+        # REAL executor JVMs (local-cluster 2 vs 8 x 4 cores)
+        for mode, key in (("--scaling", "threads"),
+                          ("--scaling-cluster", "executors")):
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), mode],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+            try:
+                out = json.loads(line)
+            except json.JSONDecodeError:
+                out = {"raw": line[:500], "err": proc.stderr[-500:]}
+            log({"kind": "result", "mode": key, **out})
+            eff = out.get("value") or 0.0
+            if eff > best_eff and key == "threads":
+                best_eff = eff
+                with open(os.path.join(REPO, "scaling_best.json"), "w") as f:
+                    json.dump(out, f, indent=1)
+            if key == "executors":
+                prev = 0.0
+                path = os.path.join(REPO, "scaling_cluster_best.json")
+                if os.path.exists(path):
+                    with open(path) as f:
+                        prev = (json.load(f).get("value") or 0.0)
+                if eff > prev:
+                    with open(path, "w") as f:
+                        json.dump(out, f, indent=1)
+            if eff < 0.8:
+                done = False
+        if done:
+            log({"kind": "done", "efficiency": best_eff})
+            break
     except subprocess.TimeoutExpired:
         log({"kind": "timeout"})
     finally:
