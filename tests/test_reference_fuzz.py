@@ -1513,3 +1513,71 @@ def test_fuzz_cmap_pathology_byte_identity(ref_bin):
             sys.stderr.write(f"repro: seed={SEED + 17} doc={doc_i}\n")
             sys.stderr.write(data.hex()[:6000] + "\n")
         assert not diffs, diffs[:5]
+
+
+# -- font /Encoding shape fuzz ------------------------------------------------
+#
+# document.rs:803-833: /Encoding may be a NAME (WinAnsi / MacRoman /
+# anything-else->WinAnsi), a DICT (BaseEncoding honored, Differences
+# array an acknowledged TODO — IGNORED), or any other object shape
+# (falls through to default WinAnsi without resolving refs).  High
+# bytes in the strings make the chosen table observable.
+
+
+def gen_encoding_shape_pdf(rng: random.Random) -> bytes:
+    shape = rng.choice(["winansi", "macroman", "unknown-name", "dict-win",
+                        "dict-mac", "dict-nobase", "dict-diffs", "ref",
+                        "number", "absent"])
+    if shape == "winansi":
+        enc = b" /Encoding /WinAnsiEncoding"
+    elif shape == "macroman":
+        enc = b" /Encoding /MacRomanEncoding"
+    elif shape == "unknown-name":
+        enc = b" /Encoding /PDFDocEncoding"
+    elif shape == "dict-win":
+        enc = b" /Encoding << /BaseEncoding /WinAnsiEncoding >>"
+    elif shape == "dict-mac":
+        enc = b" /Encoding << /BaseEncoding /MacRomanEncoding >>"
+    elif shape == "dict-nobase":
+        enc = b" /Encoding << /Type /Encoding >>"
+    elif shape == "dict-diffs":
+        # Differences MUST be ignored (reference TODO document.rs:825)
+        base = rng.choice([b"/WinAnsiEncoding", b"/MacRomanEncoding"])
+        enc = (b" /Encoding << /BaseEncoding " + base
+               + b" /Differences [ 65 /alpha 66 /beta 150 /gamma ] >>")
+    elif shape == "ref":
+        enc = b" /Encoding 9 0 R"  # indirect: both engines fall to WinAnsi
+    elif shape == "number":
+        enc = b" /Encoding 7"
+    else:
+        enc = b""
+
+    # high bytes where WinAnsi and MacRoman genuinely differ
+    # (0x80-0x9F smart quotes / dagger zone, 0xA0-0xFF accents)
+    high = bytes(rng.choice(range(0x80, 0x100)) for _ in range(10))
+    text = b"lo " + bytes(
+        b if b not in b"()\\" else 0x61 for b in high
+    ) + b" hi"
+
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    content = b"BT /F1 12 Tf 50 700 Td (" + text + b") Tj ET"
+    b.add_stream(4, b"", content)
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" + enc + b" >>")
+    if shape == "ref":
+        b.add(9, b"<< /BaseEncoding /MacRomanEncoding >>")
+    return b.build()
+
+
+def test_fuzz_encoding_shapes_byte_identity(ref_bin):
+    rng = random.Random(SEED + 19)
+    for doc_i in range(120):
+        data = gen_encoding_shape_pdf(rng)
+        diffs = _run_diff(ref_bin, data, f"encshape-{doc_i}")
+        if diffs:
+            sys.stderr.write(f"repro: seed={SEED + 19} doc={doc_i}\n")
+            sys.stderr.write(data.hex()[:4000] + "\n")
+        assert not diffs, diffs[:5]
