@@ -107,6 +107,8 @@ BENCH_OPS = [
     "heavy_hitters_cms",
     "crawl_schedule",
     "robots_filter",
+    "gopher_quality_filter",
+    "c4_line_filter",
 ]
 
 

@@ -28,6 +28,7 @@ def all_queries():
         dedup,
         editverify,
         filtering,
+        heuristics,
         linkgraph,
         multimodal,
         selection,
@@ -64,6 +65,7 @@ def all_queries():
         selection,
         sketches,
         splits,
+        heuristics,
         bloom,
     ):
         out.update(mod.QUERIES)

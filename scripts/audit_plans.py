@@ -296,6 +296,21 @@ def main() -> None:
          and p.count("Exchange hashpartitioning") == 1)
     )
 
+    # 4v. gopher/c4 heuristics: pure per-document array HOFs — zero
+    # exchange, zero Python
+    from pdf_parser_spark.ops.heuristics import (
+        c4_line_filter,
+        gopher_quality_filter,
+    )
+
+    for nm, fn in (("gopher-narrow-codegen", gopher_quality_filter),
+                   ("c4-narrow-codegen", c4_line_filter)):
+        p = plan_of(fn(spark, "/root/testdata/sf0.001"))
+        checks.append(
+            (nm, "Exchange" not in p and "ArrowEvalPython" not in p
+             and "BatchEvalPython" not in p)
+        )
+
     # 5. arrow batch size applied
     checks.append(
         (
