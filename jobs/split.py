@@ -44,9 +44,19 @@ def split_corpus(
     text_col: str = "text_extracted",
     id_col: str = "url",
     val_mod: int = 10,
-) -> tuple[DataFrame, DataFrame, dict]:
-    """(train, val, summary) — leakage-free decontaminated split."""
+) -> tuple[DataFrame, DataFrame, dict, "callable"]:
+    """(train, val, summary, cleanup) — leakage-free decontaminated
+    split.
+
+    ``train`` / ``val`` are lazy frames backed by a persisted,
+    eagerly-materialized id set (ids only — the corpus-wide signature
+    frames are unpersisted before this function returns).  Call
+    ``cleanup()`` once both outputs are written to release that cache;
+    the frames remain valid afterwards (they recompute two hash joins
+    against ``df``, not the signature UDF).
+    """
     from pdf_parser_spark.ops.dedup import _make_sig_udf, lsh_bands
+    from pdf_parser_spark.ops.splits import leaked_val_ids
 
     sig_udf = _make_sig_udf()
     sig = (
@@ -63,39 +73,32 @@ def split_corpus(
         bands = lsh_bands(sig.filter(F.size("sig") >= 1)).select(
             id_col, "is_val", "band", "band_key"
         )
-        train_keys = bands.filter(~F.col("is_val")).select("band", "band_key")
-        leaked = (
-            bands.filter(F.col("is_val"))
-            .join(train_keys, ["band", "band_key"], "left_semi")
-            .select(id_col)
-            .distinct()
-            .withColumn("_leaked", F.lit(True))
+        leaked = leaked_val_ids(bands, id_col).withColumn(
+            "_leaked", F.lit(True)
         )
-        verdicts = (
-            sig.select(id_col, "is_val")
-            .join(leaked, id_col, "left")
-            .select(
-                id_col,
-                "is_val",
-                F.coalesce("_leaked", F.lit(False)).alias("_leaked"),
-            )
+        verdicts = sig.select(id_col, "is_val").join(leaked, id_col, "left")
+        # ids-only cache (≈ val fraction of the corpus, one column);
+        # materialized NOW so train/val never re-run the signature UDF
+        # after sig is unpersisted in the finally block
+        val_ids = (
+            verdicts.filter(F.col("is_val") & F.col("_leaked").isNull())
+            .select(id_col)
             .persist()
         )
-        n_val_hash = verdicts.filter(F.col("is_val")).count()
-        n_leaked = verdicts.filter(F.col("is_val") & F.col("_leaked")).count()
-        val_ids = verdicts.filter(F.col("is_val") & ~F.col("_leaked")).select(
-            id_col
-        )
+        n_val_final = val_ids.count()
+        n_leaked = verdicts.filter(
+            F.col("is_val") & F.col("_leaked").isNotNull()
+        ).count()
         train = df.join(val_ids, id_col, "left_anti")
         val = df.join(val_ids, id_col, "left_semi")
         summary = {
             "val_mod": val_mod,
             "rows": df.count(),
-            "val_hash_assigned": n_val_hash,
+            "val_hash_assigned": n_val_final + n_leaked,
             "val_leaked_reassigned_to_train": n_leaked,
-            "val_final": n_val_hash - n_leaked,
+            "val_final": n_val_final,
         }
-        return train, val, summary
+        return train, val, summary, val_ids.unpersist
     finally:
         sig.unpersist()
 
@@ -115,11 +118,12 @@ def main() -> None:
 
     spark = build_session("pdf-parser-spark-split", master=args.master)
     df = spark.read.parquet(args.input)
-    train, val, summary = split_corpus(
+    train, val, summary, cleanup = split_corpus(
         df, text_col=args.text_col, id_col=args.id_col, val_mod=args.val_mod
     )
     train.write.mode("overwrite").parquet(f"{args.output}/train")
     val.write.mode("overwrite").parquet(f"{args.output}/val")
+    cleanup()
     with open(f"{args.output}/split.json", "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))

@@ -73,10 +73,47 @@ _WHATWG_ALIASES = {
     "iso-8859-11": "cp874",
 }
 
-_META_CHARSET_RE = re.compile(
-    rb"""<meta[^>]{0,256}?charset\s*=\s*["']?\s*([a-zA-Z0-9._:-]{1,40})""",
-    re.IGNORECASE,
+# Prescan tokenization: skip comments (unterminated ones consume to the
+# end of the window, as the spec's bogus-comment state does), then parse
+# each <meta> tag's attributes.  A bare ``charset=`` match is NOT enough:
+# per the spec only a ``charset`` attribute, or a ``content`` attribute
+# on an ``http-equiv=content-type`` meta, declares an encoding — a
+# charset= inside e.g. <meta name=description content="..."> or a
+# commented-out tag must be ignored.
+_COMMENT_RE = re.compile(rb"<!--.*?(?:-->|\Z)", re.S)
+_META_TAG_RE = re.compile(rb"<meta[\s/](.{0,512}?)>", re.IGNORECASE | re.S)
+_ATTR_RE = re.compile(
+    rb"""([a-zA-Z][a-zA-Z0-9-]*)\s*=\s*("[^"]*"|'[^']*'|[^\s"'>]+)"""
 )
+_CONTENT_CHARSET_RE = re.compile(
+    rb"""charset\s*=\s*["']?\s*([a-zA-Z0-9._:-]{1,40})""", re.IGNORECASE
+)
+
+
+def _prescan_meta(head: bytes) -> str | None:
+    """WHATWG meta prescan over the head window → resolved codec or None.
+
+    Walks <meta> tags in order; an unresolvable label does not stop the
+    scan (the spec keeps looking at later metas).
+    """
+    head = _COMMENT_RE.sub(b"", head)
+    for tag in _META_TAG_RE.finditer(head):
+        attrs: dict[bytes, bytes] = {}
+        for am in _ATTR_RE.finditer(tag.group(1)):
+            key = am.group(1).lower()
+            if key not in attrs:  # spec: first occurrence wins
+                attrs[key] = am.group(2).strip(b"\"'")
+        label = attrs.get(b"charset")
+        if label is None and b"content" in attrs:
+            if attrs.get(b"http-equiv", b"").strip().lower() == b"content-type":
+                cm = _CONTENT_CHARSET_RE.search(attrs[b"content"])
+                if cm:
+                    label = cm.group(1)
+        if label is not None:
+            codec = _resolve_label(label.decode("ascii", "replace"))
+            if codec is not None:
+                return codec
+    return None
 
 
 def _resolve_label(label: str) -> str | None:
@@ -97,25 +134,30 @@ def _resolve_label(label: str) -> str | None:
     return codec
 
 
+def _sniff(data: bytes) -> tuple[str, str, str | None]:
+    """(codec, how, text) — ``text`` is the decoded document when the
+    sniff itself already had to decode it (the strict-UTF-8 fallback
+    probe), so the majority class of valid-UTF-8 crawl pages decodes
+    exactly once per document."""
+    if data.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig", "bom", None
+    if data.startswith(b"\xff\xfe"):
+        return "utf-16-le", "bom", None
+    if data.startswith(b"\xfe\xff"):
+        return "utf-16-be", "bom", None
+    codec = _prescan_meta(data[:PRESCAN_BYTES])
+    if codec is not None:
+        return codec, "meta", None
+    try:
+        return "utf-8", "fallback", data.decode("utf-8")
+    except (UnicodeDecodeError, ValueError):
+        return "windows-1252", "fallback", None
+
+
 def sniff_encoding(data: bytes) -> tuple[str, str]:
     """(codec, how) — ``how`` is 'bom' | 'meta' | 'fallback'."""
-    if data.startswith(b"\xef\xbb\xbf"):
-        return "utf-8-sig", "bom"
-    if data.startswith(b"\xff\xfe"):
-        return "utf-16-le", "bom"
-    if data.startswith(b"\xfe\xff"):
-        return "utf-16-be", "bom"
-    head = bytes(data[:PRESCAN_BYTES])
-    m = _META_CHARSET_RE.search(head)
-    if m:
-        codec = _resolve_label(m.group(1).decode("ascii", "replace"))
-        if codec is not None:
-            return codec, "meta"
-    try:
-        data.decode("utf-8")
-        return "utf-8", "fallback"
-    except (UnicodeDecodeError, ValueError):
-        return "windows-1252", "fallback"
+    codec, how, _text = _sniff(bytes(data))
+    return codec, how
 
 
 def sniff_decode(data: bytes | bytearray | memoryview) -> tuple[str, str]:
@@ -126,11 +168,12 @@ def sniff_decode(data: bytes | bytearray | memoryview) -> tuple[str, str]:
     replacement-based too), so the result is always defined.
     """
     data = bytes(data)
-    codec, _how = sniff_encoding(data)
-    try:
-        text = data.decode(codec)
-    except (UnicodeDecodeError, ValueError):
-        text = data.decode(codec, errors="replace")
+    codec, _how, text = _sniff(data)
+    if text is None:
+        try:
+            text = data.decode(codec)
+        except (UnicodeDecodeError, ValueError):
+            text = data.decode(codec, errors="replace")
     if codec.startswith("utf-16") and text.startswith("﻿"):
         # utf-8-sig strips its BOM; the utf-16-le/-be codecs do not
         text = text[1:]

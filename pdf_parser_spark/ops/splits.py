@@ -67,6 +67,25 @@ TEMP_TARGET_DEN = 4
 # split_decontaminated — hash split + LSH leakage quarantine
 # ---------------------------------------------------------------------------
 
+def leaked_val_ids(bands: DataFrame, id_col: str) -> DataFrame:
+    """ids (one column, distinct) of VALIDATION rows that share an LSH
+    band bucket with any train row — the leakage set both the operator
+    and the split job quarantine.
+
+    ``bands`` must carry ``(id_col, is_val, band, band_key)`` (the
+    :func:`pdf_parser_spark.ops.dedup.lsh_bands` shape).  One LEFT SEMI
+    join on ``(band, band_key)``: val keys are a few % of the corpus,
+    buckets are Poisson(1) at the dedup banding, text never moves.
+    """
+    train_keys = bands.filter(~F.col("is_val")).select("band", "band_key")
+    return (
+        bands.filter(F.col("is_val"))
+        .join(train_keys, ["band", "band_key"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
 def split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, leaked) for every VALIDATION document: ``leaked`` is
     true iff the doc shares an LSH band bucket with any train doc.
@@ -91,14 +110,7 @@ def split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     bands = lsh_bands(sig).select("doc_id", "is_val", "band", "band_key")
-    train_keys = bands.filter(~F.col("is_val")).select("band", "band_key")
-    leaked = (
-        bands.filter(F.col("is_val"))
-        .join(train_keys, ["band", "band_key"], "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("leaked", F.lit(True))
-    )
+    leaked = leaked_val_ids(bands, "doc_id").withColumn("leaked", F.lit(True))
     return (
         sig.filter(F.col("is_val"))
         .select("doc_id")

@@ -104,8 +104,13 @@ def estimate_counts(grid: DataFrame, probe_tokens: list[str]) -> DataFrame:
         )
         .select("token", "d", cms_cell("h", "d").alias("cell"))
     )
+    # LEFT join: an arbitrary probe token may hit cells no stream token
+    # ever touched — an absent (d, cell) row means a zero counter, so
+    # the CMS min for such a token is 0, not "drop the token" (the
+    # batch twin probes only corpus top-K tokens, whose cells always
+    # exist; here the caller chooses the probes).
     return (
-        probes.join(F.broadcast(grid), ["d", "cell"])
+        probes.join(F.broadcast(grid), ["d", "cell"], "left")
         .groupBy("token")
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )

@@ -42,6 +42,22 @@ def threshold() -> float:
     return 0.50
 
 
+def probes_ok(out: dict, floor: float = 0.6) -> bool:
+    """Trust a measurement only if every embedded host probe around its
+    legs showed deliverable capacity >= ``floor``.  Without this, a
+    steal epoch that hits only the SMALL leg deflates its docs/sec and
+    inflates efficiency past 0.8 — the hunt must not declare victory on
+    a poisoned window."""
+    probes = [
+        out[k]
+        for k in ("exec2_leg_probe", "exec8_leg_probe")
+        if isinstance(out.get(k), dict)
+    ]
+    probes += [p for p in out.get("host_probes", []) if isinstance(p, dict)]
+    fracs = [p.get("parallel_capacity_frac", 0.0) for p in probes]
+    return bool(fracs) and min(fracs) >= floor
+
+
 best_eff = 0.0
 while time.time() < DEADLINE:
     if os.path.exists(LOCK):
@@ -88,7 +104,7 @@ while time.time() < DEADLINE:
                 if eff > prev:
                     with open(path, "w") as f:
                         json.dump(out, f, indent=1)
-            if eff < 0.8:
+            if eff < 0.8 or not probes_ok(out):
                 done = False
         if done:
             log({"kind": "done", "efficiency": best_eff})

@@ -81,6 +81,36 @@ def test_utf16_meta_label_treated_as_utf8():
     assert codec == "utf-8" and "ascii body" in text
 
 
+def test_charset_in_plain_content_attr_is_ignored():
+    # charset= inside a non-http-equiv content value is NOT a declaration
+    page = (
+        b'<meta name="description" content="how to set charset=iso-8859-1">'
+        + "<p>café</p>".encode("utf-8")
+    )
+    text, codec = sniff_decode(page)
+    assert codec == "utf-8" and "café" in text
+
+
+def test_commented_out_meta_is_ignored():
+    page = b"<!-- <meta charset=big5> -->" + "<p>café</p>".encode("utf-8")
+    text, codec = sniff_decode(page)
+    assert codec == "utf-8" and "café" in text
+
+
+def test_unterminated_comment_swallows_meta():
+    page = b"<!-- <meta charset=big5>" + b"<p>ascii</p>"
+    assert sniff_decode(page)[1] == "utf-8"
+
+
+def test_later_meta_wins_when_first_label_unknown():
+    page = (
+        b'<meta charset="klingon-9"><meta charset="windows-1251">'
+        + "<p>Привет</p>".encode("windows-1251")
+    )
+    text, codec = sniff_decode(page)
+    assert codec == "windows-1251" and "Привет" in text
+
+
 def test_undeclared_utf8_stays_utf8():
     page = "<p>café 日本</p>".encode("utf-8")
     text, codec = sniff_decode(page)

@@ -40,7 +40,7 @@ def _corpus(spark, n=80):
 
 def test_split_val_is_leak_free(spark):
     df = _corpus(spark)
-    train, val, summary = split_corpus(df)
+    train, val, summary, cleanup = split_corpus(df)
 
     n_train, n_val = train.count(), val.count()
     assert n_train + n_val == df.count() == summary["rows"]
@@ -58,6 +58,10 @@ def test_split_val_is_leak_free(spark):
     train_texts = {r.text_extracted for r in train.collect()}
     overlap = {t for t in val_texts & train_texts if len(t.split()) >= 3}
     assert not overlap, sorted(overlap)[:3]
+
+    # releasing the id cache must not invalidate the returned frames
+    cleanup()
+    assert train.count() == n_train and val.count() == n_val
 
 
 def test_split_cli_end_to_end(spark, tmp_path):

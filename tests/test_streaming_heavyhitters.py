@@ -84,6 +84,24 @@ def test_stream_grid_equals_batch_over_union(spark, tmp_path_factory):
     assert est["hot"] >= 5
     assert est["delta"] >= 2
 
+    # a probe token the stream never saw must come back as a row with
+    # est 0 when its cells are untouched (absent grid cell == zero
+    # counter), never be silently dropped from the result
+    probe = "zq9never8seen7token"
+    untouched = all(
+        ((d, (_h32(probe) >> (6 * d)) % CMS_W) not in got) for d in range(CMS_D)
+    )
+    est2 = {
+        r["token"]: r["cms_est"]
+        for r in estimate_counts(
+            final_grid(spark, out), ["hot", probe]
+        ).collect()
+    }
+    assert probe in est2
+    if untouched:
+        assert est2[probe] == 0
+    assert est2["hot"] >= 5
+
 
 def test_stream_replay_is_idempotent(spark, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("hh2"))
