@@ -75,6 +75,7 @@ BENCH_OPS = [
     "resume_anti_join",
     "skew_buckets",
     "url_dedup",
+    "url_canonicalize",
     "line_dedup",
     "stratified_sample",
     "sessionize_events",

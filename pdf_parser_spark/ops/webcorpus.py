@@ -441,8 +441,176 @@ WHERE len(paras) >= 1
 """
 
 
+# ---------------------------------------------------------------------------
+# url_canonicalize — full structural URL normalization (pre-dedup step)
+# ---------------------------------------------------------------------------
+
+# query parameters that never change page identity (tracking only)
+TRACKING_PARAM_RE = (
+    "^(utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid)(=.*)?$"
+)
+
+
+def _url_canon_expr(col):
+    """Structural canonical form of a URL, as pure codegen expressions:
+
+    1. fragment stripped
+    2. scheme lowercased; userinfo (``user:pw@``) dropped
+    3. host lowercased, trailing root-dot stripped
+    4. scheme-default port stripped (``:80`` http / ``:443`` https);
+       non-default ports kept
+    5. empty path becomes ``/`` (non-empty paths are NOT slash-trimmed
+       — ``/a`` and ``/a/`` may be different resources; dot-segment
+       resolution is deliberately out of scope, it needs a loop)
+    6. query split on ``&``: empty params and tracking params
+       (:data:`TRACKING_PARAM_RE`) dropped, surviving params keep
+       their original order (sorting would merge ``?a=1&b=2`` with
+       ``?b=2&a=1`` — an application choice, not a normalization)
+
+    Total: anything without a ``scheme://host`` shape passes through
+    unchanged.  Everything is regexp/array built-ins, so the operator
+    is narrow, zero-shuffle, zero-Python — at 10^12 rows it is a pure
+    map stage fused into whatever scan feeds it.
+    """
+    u = F.regexp_replace(col, "#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    hostport = F.regexp_replace(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+        "^[^@]*@",
+        "",
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, "^([^:]*)", 1)), r"\.$", ""
+    )
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    keep = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    q2 = F.array_join(keep, "&")
+    port2 = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        "",
+    ).otherwise(F.concat(F.lit(":"), port))
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port2,
+        F.when(path == "", "/").otherwise(path),
+        F.when(q2 == "", "").otherwise(F.concat(F.lit("?"), q2)),
+    )
+    return F.when((scheme == "") | (host == ""), col).otherwise(canon)
+
+
+def _url_canon_sql(expr: str) -> str:
+    u = f"regexp_replace({expr}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = (
+        f"regexp_replace(regexp_extract({u},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '')"
+    )
+    host = (
+        f"regexp_replace(lower(regexp_extract({hostport}, '^([^:]*)', 1)),"
+        f" '\\.$', '')"
+    )
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    path = (
+        f"regexp_extract({u},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    )
+    query = f"regexp_extract({u}, '\\?(.*)$', 1)"
+    # coalesce: DuckDB array_to_string([]) is NULL, Spark array_join is ''
+    q2 = (
+        f"coalesce(array_to_string(list_filter(string_split({query}, '&'),"
+        f" p -> p <> '' AND NOT regexp_matches(p,"
+        f" '{TRACKING_PARAM_RE}')), '&'), '')"
+    )
+    port2 = (
+        f"CASE WHEN {port} = '' OR ({scheme} = 'http' AND {port} = '80')"
+        f" OR ({scheme} = 'https' AND {port} = '443') THEN ''"
+        f" ELSE ':' || {port} END"
+    )
+    canon = (
+        f"{scheme} || '://' || {host} || {port2}"
+        f" || CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+        f" || CASE WHEN {q2} = '' THEN '' ELSE '?' || {q2} END"
+    )
+    return (
+        f"CASE WHEN {scheme} = '' OR {host} = '' THEN {expr}"
+        f" ELSE {canon} END"
+    )
+
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, raw_url, url_canon): structural canonicalization over a
+    derived crawl table whose urls exercise every rule — mixed-case
+    scheme/host, default and non-default ports, userinfo, trailing
+    root-dot, empty paths, tracking and empty query params, and
+    non-URL garbage (passthrough).
+
+    Unlike :func:`url_dedup`'s 4-regexp collapse key, this is the
+    rule-precise form a crawl frontier / revisit policy keys on.
+    Scale: fully narrow — no shuffle at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    cls = F.col("doc_id") % 6
+    messy = (
+        F.when(cls == 0, F.concat(
+            F.lit("https://WWW.Example.COM:443/p/"), d,
+            F.lit("?x=1&utm_source=rss&y=2#frag")))
+        .when(cls == 1, F.concat(
+            F.lit("HTTP://user:pw@Example.com:80/p/"), d, F.lit("/")))
+        .when(cls == 2, F.concat(
+            F.lit("https://ex"), d, F.lit(".Example.com.")))
+        .when(cls == 3, F.concat(
+            F.lit("https://example.com:8080/p/"), d,
+            F.lit("?utm_a=1&fbclid=zz")))
+        .when(cls == 4, F.concat(
+            F.lit("http://sub.example.com/p/"), d, F.lit("?a=2&&b=3")))
+        .otherwise(F.concat(F.lit("not a url "), d))
+    )
+    return docs.select(
+        "doc_id",
+        messy.alias("raw_url"),
+        _url_canon_expr(messy).alias("url_canon"),
+    )
+
+
+URL_CANONICALIZE_SQL = f"""
+WITH crawl AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'https://WWW.Example.COM:443/p/' || doc_id::VARCHAR
+                       || '?x=1&utm_source=rss&y=2#frag'
+           WHEN 1 THEN 'HTTP://user:pw@Example.com:80/p/' || doc_id::VARCHAR
+                       || '/'
+           WHEN 2 THEN 'https://ex' || doc_id::VARCHAR || '.Example.com.'
+           WHEN 3 THEN 'https://example.com:8080/p/' || doc_id::VARCHAR
+                       || '?utm_a=1&fbclid=zz'
+           WHEN 4 THEN 'http://sub.example.com/p/' || doc_id::VARCHAR
+                       || '?a=2&&b=3'
+           ELSE 'not a url ' || doc_id::VARCHAR
+         END AS raw_url
+  FROM documents
+)
+SELECT doc_id, raw_url, {_url_canon_sql("raw_url")} AS url_canon
+FROM crawl
+"""
+
+
 QUERIES = {
     "url_dedup": (url_dedup, URL_DEDUP_SQL),
+    "url_canonicalize": (url_canonicalize, URL_CANONICALIZE_SQL),
     "line_dedup": (line_dedup, LINE_DEDUP_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "host_diversity": (host_diversity, HOST_DIVERSITY_SQL),

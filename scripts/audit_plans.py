@@ -311,6 +311,17 @@ def main() -> None:
              and "BatchEvalPython" not in p)
         )
 
+    # 4w. url_canonicalize: pure regexp/array codegen — narrow map
+    # stage, zero exchange, zero Python
+    from pdf_parser_spark.ops.webcorpus import url_canonicalize
+
+    p = plan_of(url_canonicalize(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("urlcanon-narrow-codegen",
+         "Exchange" not in p and "ArrowEvalPython" not in p
+         and "BatchEvalPython" not in p)
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (
