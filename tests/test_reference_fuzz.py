@@ -1581,3 +1581,89 @@ def test_fuzz_encoding_shapes_byte_identity(ref_bin):
             sys.stderr.write(f"repro: seed={SEED + 19} doc={doc_i}\n")
             sys.stderr.write(data.hex()[:4000] + "\n")
         assert not diffs, diffs[:5]
+
+
+# -- hybrid-reference files: classic xref + trailer /XRefStm -----------------
+#
+# PDF 1.5 hybrid-reference files carry a classic xref table whose
+# trailer also points at an xref STREAM via /XRefStm (spec §7.5.8.4).
+# The reference walks only startxref -> classic table -> /Prev
+# (document.rs:89-120) and never reads the /XRefStm key, so the
+# stream's entries are dead weight: a shadow "4 0 obj" with different
+# content, or a font object that exists only through the stream, must
+# not change the output.  Our engine ignores /XRefStm by construction;
+# this class pins that the IGNORING is byte-identical — if either side
+# ever honored the stream, the conflicting shadow content (or the
+# phantom font's decode) would flip the text.
+
+
+def gen_hybrid_xrefstm_pdf(rng: random.Random) -> bytes:
+    fonts = [b"F1"]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    def stream_body(payload: bytes) -> bytes:
+        return (b"<< /Length %d >>\nstream\n" % len(payload)
+                + payload + b"\nendstream")
+
+    content_a = _content_stream(rng, fonts)   # the classic truth
+    content_b = _content_stream(rng, fonts)   # only via /XRefStm
+
+    phantom_font = rng.random() < 0.35
+    font_ref = b"9 0 R" if phantom_font else b"5 0 R"
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    emit(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 %s >> >> >>"
+            % font_ref)
+    emit(4, stream_body(content_a))
+    emit(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica%s >>"
+            % rng.choice(ENCODINGS))
+
+    # shadow revision of object 4 — reachable ONLY through the stream
+    shadow_off = len(out)
+    out.extend(b"4 0 obj\n" + stream_body(content_b) + b"\nendobj\n")
+    # font 9 exists ONLY through the stream: with phantom_font the page
+    # references it, and both engines must silently skip the
+    # unresolvable font (document.rs:775-777) -> default decode
+    nine_off = len(out)
+    out.extend(b"9 0 obj\n<< /Type /Font /Subtype /Type1 "
+               b"/BaseFont /Courier%s >>\nendobj\n" % rng.choice(ENCODINGS))
+    xs_off = len(out)
+    out.extend(_xref_stream(
+        rng, 7,
+        [(4, [(1, shadow_off, 0)]), (9, [(1, nine_off, 0)])],
+        10, None, trunc_last=False,
+    ))
+
+    xref_off = len(out)
+    maxnum = 5 if rng.random() < 0.5 else 7   # sometimes list the stream obj
+    out.extend(b"xref\n0 %d\n" % (maxnum + 1))
+    out.extend(b"0000000000 65535 f \n")
+    for num in range(1, maxnum + 1):
+        if num <= 5:
+            out.extend(b"%010d 00000 n \n" % offsets[num])
+        elif num == 7:
+            out.extend(b"%010d 00000 n \n" % xs_off)
+        else:
+            out.extend(b"0000000000 65535 f \n")
+    # 20%: /XRefStm points into the void — must be ignored harmlessly
+    xs_val = xs_off if rng.random() < 0.8 else len(out) + rng.randint(1, 5000)
+    out.extend(b"trailer\n<< /Size %d /Root 1 0 R /XRefStm %d >>\n"
+               b"startxref\n%d\n%%%%EOF\n" % (maxnum + 1, xs_val, xref_off))
+    return bytes(out)
+
+
+def test_fuzz_hybrid_xrefstm_byte_identity(ref_bin):
+    rng = random.Random(SEED + 23)
+    for doc_i in range(120):
+        data = gen_hybrid_xrefstm_pdf(rng)
+        diffs = _run_diff(ref_bin, data, f"hybrid-{doc_i}")
+        if diffs:
+            sys.stderr.write(f"repro: seed={SEED + 23} doc={doc_i}\n")
+            sys.stderr.write(data.hex()[:4000] + "\n")
+        assert not diffs, diffs[:5]
