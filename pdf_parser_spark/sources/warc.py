@@ -177,12 +177,15 @@ def _http_body(payload: bytes) -> bytes:
 def _warc_ts_micros(value: str) -> int:
     """WARC-Date (ISO 8601 Zulu) → epoch micros; 0 if absent/bad."""
     try:
-        from datetime import datetime, timezone
+        from datetime import datetime, timedelta, timezone
 
         dt = datetime.fromisoformat(value.replace("Z", "+00:00"))
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=timezone.utc)
-        return int(dt.timestamp() * 1_000_000)
+        # exact integer micros (float .timestamp() rounds at ~1 us for
+        # current epochs, breaking the WET write->read identity)
+        epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+        return (dt - epoch) // timedelta(microseconds=1)
     except (ValueError, AttributeError):
         return 0
 
@@ -204,12 +207,20 @@ def _records_to_rows(records, errors, src):
     for rec in records:
         h = rec["headers"]
         rtype = h.get("warc-type", "")
-        if rtype not in ("response", "resource"):
+        if rtype not in ("response", "resource", "conversion"):
             continue
         url = h.get("warc-target-uri", "")
         ts = _warc_ts_micros(h.get("warc-date", ""))
-        body = _http_body(rec["body"]) if rtype == "response" else rec["body"]
-        rows.append((url, ts, body, "", "", src, idx, None))
+        if rtype == "conversion":
+            # WET record: body IS the extracted text (sources/wet.py
+            # round-trip) — lands in the text column, html stays NULL
+            text = rec["body"].decode("utf-8", "replace")
+            rows.append((url, ts, None, text, "", src, idx, None))
+        else:
+            body = (
+                _http_body(rec["body"]) if rtype == "response" else rec["body"]
+            )
+            rows.append((url, ts, body, "", "", src, idx, None))
         idx += 1
     for err in errors:
         rows.append(

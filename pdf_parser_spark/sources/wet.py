@@ -1,0 +1,110 @@
+"""WET sink: export extracted text as Common-Crawl WET archives.
+
+Common Crawl ships extraction output as WET files — WARC archives of
+``conversion`` records whose body is the extracted plain text (ISO
+28500 §6.8; the WET convention is public CC practice).  This sink
+closes the crawl loop for this engine: ``read_warc_pages`` ingests the
+raw crawl, the extraction job produces text, and ``write_wet_files``
+emits the text in the format every CC consumer already reads —
+including our own reader, which round-trips WET conversion records
+back into pages rows (``text`` populated, ``html`` NULL).
+
+Spark shape: a file-format sink cannot be expressed as a DataFrame
+write (Spark has no raw-byte concatenation sink, and the text sink's
+row separator would corrupt Content-Length framing), so this is the
+one legitimately imperative per-partition path: ``mapPartitions``
+streams each partition's records into ONE ``part-NNNNN.warc.wet.gz``
+file — constant memory, one file per task, no driver collect.  At
+cluster scale the open() below is the pluggable seam for an HDFS/S3
+client; everything else (framing, naming, lineage) is already
+partition-local.
+
+Determinism: record ids derive from md5(url, ts) — no uuids, no wall
+clock — and each partition is locally sorted by url before writing, so
+re-running the export over the same partitioning yields byte-identical
+files (the property the snapshot/resume layer relies on elsewhere).
+
+Compression is CC-style one-gzip-member-per-record, which
+``_gunzip_members`` in the reader already walks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import zlib
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, functions as F
+
+CRLF = b"\r\n"
+
+
+def wet_record(url: str, ts_micros: int, text: str | None) -> bytes:
+    """One deterministic WET ``conversion`` record, uncompressed."""
+    body = (text or "").encode("utf-8")
+    ts = datetime.fromtimestamp((ts_micros or 0) / 1_000_000, tz=timezone.utc)
+    rec_id = hashlib.md5(
+        f"{url}\x00{ts_micros}".encode("utf-8", "surrogateescape")
+    ).hexdigest()
+    head = (
+        b"WARC/1.0" + CRLF
+        + b"WARC-Type: conversion" + CRLF
+        + b"WARC-Target-URI: " + url.encode("utf-8", "surrogateescape") + CRLF
+        + b"WARC-Date: "
+        + ts.strftime("%Y-%m-%dT%H:%M:%S.%fZ").encode() + CRLF
+        + b"WARC-Record-ID: <urn:md5:" + rec_id.encode() + b">" + CRLF
+        + b"Content-Type: text/plain" + CRLF
+        + b"Content-Length: " + str(len(body)).encode() + CRLF
+        + CRLF
+    )
+    return head + body + CRLF + CRLF
+
+
+def _gzip_member(record: bytes) -> bytes:
+    c = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return c.compress(record) + c.flush()
+
+
+def write_wet_files(
+    pages: DataFrame, output_dir: str, compress: bool = True
+) -> DataFrame:
+    """Stream ``(url, warc_ts, text)`` rows into WET files, one per
+    partition; returns the lineage frame ``(file, n_records,
+    n_bytes)`` (uncompressed record bytes).
+
+    Empty partitions produce no file.  The lineage frame is the
+    action: consuming it (count/collect/write) runs the export.
+    """
+    spark = pages.sparkSession
+    os.makedirs(output_dir, exist_ok=True)
+    ext = ".warc.wet.gz" if compress else ".warc.wet"
+    sel = pages.select(
+        "url", F.unix_micros(F.col("warc_ts")).alias("ts_us"), "text"
+    ).sortWithinPartitions("url")
+
+    def _write_partition(rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(output_dir, f"part-{pid:05d}{ext}")
+        fh = None
+        n = n_bytes = 0
+        try:
+            for row in rows:
+                rec = wet_record(row["url"], row["ts_us"], row["text"])
+                if fh is None:  # lazily: empty partitions emit nothing
+                    fh = open(path, "wb")
+                fh.write(_gzip_member(rec) if compress else rec)
+                n += 1
+                n_bytes += len(rec)
+        finally:
+            if fh is not None:
+                fh.close()
+        if n:
+            yield (os.path.basename(path), n, n_bytes)
+
+    lineage = sel.rdd.mapPartitions(_write_partition)
+    return spark.createDataFrame(
+        lineage, "file string, n_records long, n_bytes long"
+    )
