@@ -45,6 +45,9 @@ def main() -> None:
                     help="anti-join input against committed output urls")
     ap.add_argument("--heavy-threshold", type=int, default=1 << 20,
                     help="payload bytes above which a doc is heavy-tail routed")
+    ap.add_argument("--wet-output", default=None,
+                    help="also export the extracted text as CC-style WET "
+                         "archives (conversion records) into this dir")
     ap.add_argument("--master", default=None,
                     help="override master (default: whatever spark-submit set)")
     ap.add_argument("--stream", action="store_true",
@@ -99,6 +102,19 @@ def main() -> None:
     n = sum(row["row_count"] for row in lin)
     snap_id = record["id"] if isinstance(record, dict) else "iceberg"
     print(f"committed snapshot {snap_id}: {n} docs, {len(lin)} lineage partitions")
+    if args.wet_output:
+        from pyspark.sql import functions as F
+
+        from pdf_parser_spark.sources.wet import write_wet_files
+
+        wet_lin = write_wet_files(
+            extracted.select(
+                "url", "warc_ts", F.col("text_extracted").alias("text")
+            ),
+            args.wet_output,
+        ).collect()
+        print(f"wet export: {sum(r.n_records for r in wet_lin)} records "
+              f"in {len(wet_lin)} files under {args.wet_output}")
     spark.stop()
 
 

@@ -106,11 +106,13 @@ def test_job_cli_end_to_end(spark, pages, tmp_path):
     out = str(tmp_path / "extracted")
     pages.write.parquet(inp)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wet = str(tmp_path / "wet")
     cmd = [
         sys.executable, os.path.join(repo, "jobs", "extract.py"),
         "--input", inp, "--output", out, "--format", "txt",
         "--resume", "--master", "local[2]",
         "--heavy-threshold", "100000",
+        "--wet-output", wet,
     ]
     env = {**os.environ, "SPARK_GRAFT_CPUS": "2"}
     r1 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300)
@@ -118,6 +120,19 @@ def test_job_cli_end_to_end(spark, pages, tmp_path):
     manifest = json.load(open(os.path.join(out, "manifest.json")))
     assert manifest["snapshots"][0]["row_count"] == pages.count()
     assert manifest["snapshots"][0]["lineage"]
+
+    # the --wet-output side channel: every doc as a conversion record
+    from pdf_parser_spark.sources.warc import parse_warc
+
+    wet_files = sorted(os.listdir(wet))
+    assert wet_files and all(f.endswith(".warc.wet.gz") for f in wet_files)
+    n_recs = 0
+    for f in wet_files:
+        recs, errs = parse_warc(open(os.path.join(wet, f), "rb").read())
+        assert not errs
+        assert all(r["headers"]["warc-type"] == "conversion" for r in recs)
+        n_recs += len(recs)
+    assert n_recs == pages.count()
 
     r2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300)
     assert r2.returncode == 0, r2.stderr[-2000:]
