@@ -87,6 +87,7 @@ BENCH_OPS = [
     "kmeans_embeddings",
     "chunk_documents",
     "corpus_mix",
+    "corpus_shuffle",
     "salted_join_stats",
     "text_normalize",
     "url_host_filter",

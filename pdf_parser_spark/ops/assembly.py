@@ -159,7 +159,72 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_shuffle — deterministic global training order, shard-local sort
+# ---------------------------------------------------------------------------
+
+# shard count is a function of corpus size in production (keep shards
+# ≫ cores and a few hundred MB each); 16 fits the test tables
+SHUFFLE_SHARDS = 16
+SHUFFLE_SEED = "shuffle-epoch-0"
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, pos, doc_id, okey): the deterministic global shuffle a
+    training pipeline runs before writing shard files — every document
+    gets a pseudorandom but seed-reproducible position, so data order
+    is decorrelated from crawl order yet identical across reruns,
+    engines, and cluster sizes (no RNG, no partition-order
+    dependence).
+
+    Scale: the naive spelling is ``orderBy(rand())`` — a corpus-global
+    sort with nondeterministic keys.  Here the order key is
+    ``seeded_h32(epoch_seed, doc_id)``; the shard is ``okey % S`` and
+    the position is a row_number WITHIN the shard — ONE exchange
+    (hash-partition on shard) followed by shard-local sorts of
+    ``(okey, doc_id)`` pairs only.  Text never shuffles; shard count
+    grows with the corpus so each local sort stays executor-sized.
+    ``doc_id`` breaks h32 ties, making the order total on both
+    engines.
+    """
+    from pyspark.sql import Window
+
+    from pdf_parser_spark.ops.common import seeded_h32
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = seeded_h32(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string"))
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    return (
+        docs.select("doc_id", key.alias("okey"))
+        .withColumn("shard", (F.col("okey") % SHUFFLE_SHARDS).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("shard", "pos", "doc_id", "okey")
+    )
+
+
+def _seeded_h32_sql_local(expr: str) -> str:
+    from pdf_parser_spark.ops.common import seeded_h32_sql
+
+    return seeded_h32_sql(f"'{SHUFFLE_SEED}'", expr)
+
+
+CORPUS_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {{okey}} AS okey,
+         CAST({{okey}} % {SHUFFLE_SHARDS} AS INT) AS shard
+  FROM documents
+)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY okey, doc_id) AS INT) AS pos,
+       doc_id, okey
+FROM keyed
+""".replace("{okey}", _seeded_h32_sql_local("doc_id::VARCHAR"))
+
+
 QUERIES = {
     "chunk_documents": (chunk_documents, CHUNK_DOCUMENTS_SQL),
     "corpus_mix": (corpus_mix, CORPUS_MIX_SQL),
+    "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
 }

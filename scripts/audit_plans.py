@@ -322,6 +322,17 @@ def main() -> None:
          and "BatchEvalPython" not in p)
     )
 
+    # 4x. corpus_shuffle: ONE exchange (hash on shard) + shard-local
+    # sort — never a corpus-global range sort (orderBy(rand()) shape)
+    from pdf_parser_spark.ops.assembly import corpus_shuffle
+
+    p = plan_of(corpus_shuffle(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("shuffle-shard-local-sort",
+         p.count("Exchange") == 1 and "hashpartitioning(shard" in p
+         and "rangepartitioning" not in p)
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (
