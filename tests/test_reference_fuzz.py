@@ -1667,3 +1667,72 @@ def test_fuzz_hybrid_xrefstm_byte_identity(ref_bin):
             sys.stderr.write(f"repro: seed={SEED + 23} doc={doc_i}\n")
             sys.stderr.write(data.hex()[:4000] + "\n")
         assert not diffs, diffs[:5]
+
+
+# -- xref /Prev chain cycles --------------------------------------------------
+#
+# parse_xref_and_trailer (document.rs:89-137) follows /Prev with no
+# visited-offset set: a trailer whose /Prev points back at an
+# already-walked table re-parses it forever.  Hostile bytes at crawl
+# scale cannot be allowed to pin an executor, so OUR walk keeps a
+# seen-offsets guard (engine/document.py) and must finish instantly
+# with the document intact.  (Like the stray-bracket pin, this is not
+# run against the binary — it would hang the suite; the code-level
+# cause is cited instead.)
+
+
+def _single_page_pdf_bytes() -> bytes:
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(10, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Contents 30 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.add_stream(30, b"", b"BT /F1 12 Tf 50 700 Td (alive) Tj ET", None)
+    return b.build()
+
+
+def test_prev_chain_self_loop_we_terminate():
+    import re
+    import time
+
+    data = _single_page_pdf_bytes()
+    xref_off = int(re.search(rb"startxref\n(\d+)\n", data).group(1))
+    # trailer /Prev pointing at its OWN table
+    data = data.replace(
+        b"/Root 1 0 R >>", b"/Root 1 0 R /Prev %d >>" % xref_off
+    )
+    t0 = time.time()
+    out = api.pdf_to_text(data)
+    assert time.time() - t0 < 5.0
+    assert "alive" in out
+
+
+def test_prev_chain_two_table_loop_we_terminate():
+    import re
+    import time
+
+    data = _single_page_pdf_bytes()
+    xref1 = int(re.search(rb"startxref\n(\d+)\n", data).group(1))
+    # grab table 1's full "xref ... trailer << ... >>" block
+    trailer_end = data.index(b">>", data.index(b"trailer")) + 2
+    block = data[xref1:trailer_end]
+    # table 1 gets /Prev -> table 2 (fixed-width so offsets below hold)
+    patched = data[:trailer_end].replace(
+        b"/Root 1 0 R >>", b"/Root 1 0 R /Prev %010d >>" % 0, 1
+    )
+    xref2 = len(patched)
+    patched = patched.replace(
+        b"/Prev %010d >>" % 0, b"/Prev %010d >>" % xref2, 1
+    )
+    assert len(patched) == xref2
+    # table 2 is a copy whose /Prev points back at table 1
+    block2 = block.replace(
+        b"/Root 1 0 R >>", b"/Root 1 0 R /Prev %d >>" % xref1, 1
+    )
+    data = (patched + block2
+            + b"\nstartxref\n%d\n%%%%EOF\n" % xref1)
+    t0 = time.time()
+    out = api.pdf_to_text(data)
+    assert time.time() - t0 < 5.0
+    assert "alive" in out
