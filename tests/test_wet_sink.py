@@ -93,3 +93,31 @@ def test_wet_empty_partitions_emit_no_file(spark, tmp_path):
     lineage = write_wet_files(pages, out).collect()
     assert sum(r.n_records for r in lineage) == 1
     assert len(glob.glob(f"{out}/*")) == len(lineage) <= 2
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_wet_record_roundtrip_property(compress):
+    from hypothesis import given, settings, strategies as st
+
+    from pdf_parser_spark.sources.wet import _gzip_member
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        url=st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",),
+                                   blacklist_characters="\r\n"),
+            max_size=60,
+        ),
+        ts=st.integers(min_value=0, max_value=4_000_000_000_000_000),
+        text=st.one_of(st.none(), st.text(max_size=300)),
+    )
+    def check(url, ts, text):
+        rec = wet_record(url, ts, text)
+        blob = _gzip_member(rec) if compress else rec
+        records, errors = parse_warc(blob)
+        assert not errors and len(records) == 1
+        h = records[0]["headers"]
+        assert h["warc-type"] == "conversion"
+        assert records[0]["body"].decode("utf-8") == (text or "")
+
+    check()
