@@ -12,9 +12,11 @@ back into pages rows (``text`` populated, ``html`` NULL).
 Spark shape: a file-format sink cannot be expressed as a DataFrame
 write (Spark has no raw-byte concatenation sink, and the text sink's
 row separator would corrupt Content-Length framing), so this is the
-one legitimately imperative per-partition path: ``mapPartitions``
-streams each partition's records into ONE ``part-NNNNN.warc.wet.gz``
-file — constant memory, one file per task, no driver collect.  At
+one legitimately imperative per-partition path: ``mapInPandas``
+(Arrow batches, no pickled rows) streams each partition's records
+into ONE ``part-NNNNN.warc.wet.gz`` file — constant memory, one file
+per task, no driver collect; only the record FRAMING itself walks
+rows, because a WARC member is a per-record byte layout.  At
 cluster scale the open() below is the pluggable seam for an HDFS/S3
 client; everything else (framing, naming, lineage) is already
 partition-local.
@@ -76,14 +78,18 @@ def write_wet_files(
     Empty partitions produce no file.  The lineage frame is the
     action: consuming it (count/collect/write) runs the export.
     """
-    spark = pages.sparkSession
     os.makedirs(output_dir, exist_ok=True)
     ext = ".warc.wet.gz" if compress else ".warc.wet"
     sel = pages.select(
         "url", F.unix_micros(F.col("warc_ts")).alias("ts_us"), "text"
     ).sortWithinPartitions("url")
 
-    def _write_partition(rows):
+    def _write_partition(batches):
+        # mapInPandas: ONE Python call sees the whole partition as an
+        # iterator of Arrow batches (no pickled Row objects), so the
+        # file handle streams across batches with constant memory; the
+        # inner loop is record FRAMING, which is inherently per-record
+        import pandas as pd
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
@@ -91,20 +97,29 @@ def write_wet_files(
         fh = None
         n = n_bytes = 0
         try:
-            for row in rows:
-                rec = wet_record(row["url"], row["ts_us"], row["text"])
-                if fh is None:  # lazily: empty partitions emit nothing
-                    fh = open(path, "wb")
-                fh.write(_gzip_member(rec) if compress else rec)
-                n += 1
-                n_bytes += len(rec)
+            for pdf in batches:
+                for url, ts_us, text in zip(
+                    pdf["url"].fillna(""), pdf["ts_us"].fillna(0),
+                    pdf["text"],
+                ):
+                    rec = wet_record(
+                        str(url), int(ts_us),
+                        text if isinstance(text, str) else None,
+                    )
+                    if fh is None:  # lazily: empty partitions emit nothing
+                        fh = open(path, "wb")
+                    fh.write(_gzip_member(rec) if compress else rec)
+                    n += 1
+                    n_bytes += len(rec)
         finally:
             if fh is not None:
                 fh.close()
         if n:
-            yield (os.path.basename(path), n, n_bytes)
+            yield pd.DataFrame(
+                {"file": [os.path.basename(path)], "n_records": [n],
+                 "n_bytes": [n_bytes]}
+            )
 
-    lineage = sel.rdd.mapPartitions(_write_partition)
-    return spark.createDataFrame(
-        lineage, "file string, n_records long, n_bytes long"
+    return sel.mapInPandas(
+        _write_partition, schema="file string, n_records long, n_bytes long"
     )
