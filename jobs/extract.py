@@ -45,6 +45,11 @@ def main() -> None:
                     help="anti-join input against committed output urls")
     ap.add_argument("--heavy-threshold", type=int, default=1 << 20,
                     help="payload bytes above which a doc is heavy-tail routed")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the commit, rewrite all committed "
+                         "snapshots as one size-targeted snapshot "
+                         "(small-files maintenance for resumed / "
+                         "streaming-accrued tables)")
     ap.add_argument("--wet-output", default=None,
                     help="also export the extracted text as CC-style WET "
                          "archives (conversion records) into this dir")
@@ -102,6 +107,9 @@ def main() -> None:
     n = sum(row["row_count"] for row in lin)
     snap_id = record["id"] if isinstance(record, dict) else "iceberg"
     print(f"committed snapshot {snap_id}: {n} docs, {len(lin)} lineage partitions")
+    if args.compact:
+        crec = out.compact()
+        print("compacted" if crec else "compact: nothing to do")
     if args.wet_output:
         from pyspark.sql import functions as F
 

@@ -54,13 +54,23 @@ class SnapshotParquetTable:
     def snapshots(self) -> list[dict]:
         return self._read_manifest()["snapshots"]
 
+    @staticmethod
+    def _next_id(manifest: dict) -> int:
+        """Monotone snapshot id — ids are never reused even after
+        compaction drops records from the manifest (a reused id would
+        collide with a still-on-disk snap dir)."""
+        return manifest.get(
+            "next_id",
+            max((s["id"] for s in manifest["snapshots"]), default=-1) + 1,
+        )
+
     # -- write --------------------------------------------------------------
 
     def append(self, df: DataFrame, lineage_rows: list[dict] | None = None) -> dict:
         """Write df as a new snapshot; commit = manifest update (last
         step, atomic).  Returns the snapshot record."""
         manifest = self._read_manifest()
-        snap_id = len(manifest["snapshots"])
+        snap_id = self._next_id(manifest)
         snap_dir = os.path.join(self.path, f"snap-{snap_id:04d}")
         df.write.mode("overwrite").parquet(snap_dir)
         written = self.spark.read.parquet(snap_dir)
@@ -72,6 +82,53 @@ class SnapshotParquetTable:
             "lineage": lineage_rows or [],
         }
         manifest["snapshots"].append(record)
+        manifest["next_id"] = snap_id + 1
+        self._write_manifest(manifest)
+        return record
+
+    def compact(self, target_bytes: int = 128 << 20) -> dict | None:
+        """Rewrite ALL committed snapshots as ONE size-targeted
+        snapshot — the small-files maintenance a streaming ingest
+        needs (each micro-batch commit is its own snapshot; thousands
+        of tiny parquet files wreck scan planning at 100 TB).
+
+        Snapshot isolation holds throughout: the compacted data is
+        fully written to a NEW snap dir first, the manifest swap is
+        the atomic commit, and concurrent readers that resolved the
+        old manifest keep reading the old dirs (which stay on disk,
+        uncommitted).  Lineage rows of the source snapshots are
+        carried over, so per-partition ingest provenance survives
+        compaction.  No-op (returns None) with <= 1 snapshot.
+        """
+        manifest = self._read_manifest()
+        snaps = manifest["snapshots"]
+        if len(snaps) <= 1:
+            return None
+        total = 0
+        for s in snaps:
+            d = os.path.join(self.path, s["dir"])
+            total += sum(
+                os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+        # bounded: a pathological target must not explode the task
+        # count (compaction EXISTS to reduce file counts)
+        n_files = min(max(1, -(-total // target_bytes)), 4096)
+        snap_id = self._next_id(manifest)
+        snap_dir = os.path.join(self.path, f"snap-{snap_id:04d}")
+        df = self.read()
+        df.repartition(n_files).write.mode("overwrite").parquet(snap_dir)
+        record = {
+            "id": snap_id,
+            "dir": f"snap-{snap_id:04d}",
+            "committed_at": time.time(),
+            "row_count": self.spark.read.parquet(snap_dir).count(),
+            "lineage": [r for s in snaps for r in s.get("lineage", [])],
+            "compacted_from": [s["id"] for s in snaps],
+        }
+        manifest["snapshots"] = [record]
+        manifest["next_id"] = snap_id + 1
         self._write_manifest(manifest)
         return record
 
@@ -175,6 +232,21 @@ class IcebergTable:
             "row_count": n,
             "lineage": lineage_rows or [],
         }
+
+    def compact(self, target_bytes: int = 128 << 20) -> dict | None:
+        """Cluster path of the small-files maintenance: Iceberg's
+        ``rewrite_data_files`` procedure (binpack strategy, target
+        file size) — snapshot-isolated and lineage-preserving by
+        Iceberg's own semantics, same contract as
+        SnapshotParquetTable.compact."""
+        catalog = self.name.split(".", 1)[0]
+        stmt = (
+            f"CALL {catalog}.system.rewrite_data_files("
+            f"table => '{self.name}', strategy => 'binpack', "
+            f"options => map('target-file-size-bytes', '{target_bytes}'))"
+        )
+        rows = self.spark.sql(stmt).collect()
+        return rows[0].asDict() if rows else None
 
     def read(self) -> DataFrame | None:
         if not self.snapshots():

@@ -302,6 +302,10 @@ def iceberg_env(spark, monkeypatch):
             cat.ddl.append(q)
             cat.create(q.split("CREATE TABLE IF NOT EXISTS ")[1].split(" ")[0])
             return _Rows([])
+        if "rewrite_data_files" in q:
+            cat.ddl.append(q)
+            return _Rows([{"rewritten_data_files_count": 0,
+                           "added_data_files_count": 0}])
         if ".snapshots" in q:
             name = q.split("FROM ")[1].split(".snapshots")[0]
             return _Rows(cat.snaps.get(name, []))
@@ -352,6 +356,43 @@ def test_contract_parquet_backend(spark, pages, tmp_path):
     _run_contract_scenario(tbl, spark, pages)
 
 
+def test_parquet_compaction_preserves_data_and_lineage(spark, pages, tmp_path):
+    import glob as _glob
+
+    tbl = open_table(spark, str(tmp_path / "c"))
+    assert tbl.compact() is None  # empty table: no-op
+    rec1, rec2 = _run_contract_scenario(tbl, spark, pages)
+    before = tbl.read().collect()
+    files_before = len(_glob.glob(f"{tbl.path}/snap-*/*.parquet"))
+
+    rec = tbl.compact(target_bytes=1 << 30)
+    assert rec["compacted_from"] == [rec1["id"], rec2["id"]]
+    assert rec["row_count"] == len(before)
+    # lineage provenance of both source snapshots carried over
+    assert rec["lineage"] == rec1["lineage"] + rec2["lineage"]
+    snaps = tbl.snapshots()
+    assert [s["id"] for s in snaps] == [rec["id"]]
+    # one committed snapshot, sized to one file at this target
+    files_after = _glob.glob(
+        f"{tbl.path}/{rec['dir']}/*.parquet"
+    )
+    assert len(files_after) == 1 < files_before
+    assert sorted(map(tuple, tbl.read().collect())) == sorted(
+        map(tuple, before)
+    )
+    # ids stay monotone: the next append must not reuse a compacted-
+    # away id (its snap dir is still on disk)
+    rec3 = tbl.append(tbl.spark.createDataFrame(
+        [("u-new", "t", "normal")],
+        "url string, text_extracted string, size_class string",
+    ))
+    assert rec3["id"] == rec["id"] + 1
+    assert tbl.compact() is not None  # 2 snaps again
+
+    # single-snapshot table: compact is a no-op
+    assert tbl.compact() is None
+
+
 def test_contract_iceberg_backend(spark, pages, iceberg_env):
     from pdf_parser_spark.spark.table import IcebergTable
 
@@ -376,6 +417,17 @@ def test_contract_iceberg_backend(spark, pages, iceberg_env):
     lin = iceberg_env.read("cc.db.extracted_lineage").collect()
     assert {r["snapshot_id"] for r in lin} == {rec1["id"]}
     assert all("row_count" in r["lineage_json"] for r in lin)
+
+    # compaction issues the documented maintenance procedure against
+    # the table's own catalog with a binpack size target
+    out = tbl.compact(target_bytes=256 << 20)
+    assert out == {"rewritten_data_files_count": 0,
+                   "added_data_files_count": 0}
+    call = iceberg_env.ddl[-1]
+    assert call.startswith("CALL cc.system.rewrite_data_files(")
+    assert "table => 'cc.db.extracted'" in call
+    assert "strategy => 'binpack'" in call
+    assert f"'target-file-size-bytes', '{256 << 20}'" in call
 
 
 def test_backend_method_symmetry():
