@@ -192,7 +192,10 @@ def curate(extracted: DataFrame) -> tuple[DataFrame, list[dict]]:
     N has materialized — at most two stages are ever cached, bounding
     executor cache pressure on a 100 TB input.  The raw input is
     counted but never persisted (it is a plain scan both consumers
-    re-read at parquet speed)."""
+    re-read at parquet speed).  persist() is the MEMORY_AND_DISK
+    default, so eviction of the final stage's blocks degrades to a
+    disk read, never a full-funnel recompute — and the caller writes
+    the curated frame immediately after this returns."""
     funnel: list[dict] = []
     prev: list[DataFrame] = []
 
