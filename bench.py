@@ -111,6 +111,7 @@ BENCH_OPS = [
     "robots_filter",
     "gopher_quality_filter",
     "c4_line_filter",
+    "bloom_incremental_dedup",
 ]
 
 
@@ -269,6 +270,36 @@ def run_extraction(
         out["lineage_partitions"] = len(lin)
         out["lineage_wall_s"] = round(time.time() - t1, 3)
     return out
+
+
+def run_extract_formats(spark, corpus_path: str, passes: int = 2) -> dict:
+    """Time the single-parse multi-format export (all 7 formats per
+    document in one narrow map + JVM-side stack unpivot) — the r2
+    483→3191 docs/s Arrow lesson (PLANS.md §6) stays regression-guarded
+    in the per-round bench, not only behind --formats."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.spark.udfs import extract_formats_udf, unpivot_formats
+
+    pages = spark.read.parquet(corpus_path)
+    n_docs = pages.count()
+    walls = []
+    for _ in range(passes):
+        t0 = time.time()
+        (
+            pages.withColumn("_fx", extract_formats_udf(F.col("html")))
+            .select(unpivot_formats("_fx"))
+            .select(F.sum(F.length("text")))
+            .collect()
+        )
+        walls.append(time.time() - t0)
+    wall = min(walls)
+    return {
+        "docs": n_docs,
+        "wall_s": round(wall, 3),
+        "walls_s": [round(w, 3) for w in walls],
+        "docs_per_sec": round(n_docs / wall, 2),
+    }
 
 
 def run_ops(spark, sf_dir: str) -> dict:
@@ -539,7 +570,11 @@ def main():
     ex_cold = run_extraction(spark, corpus, with_lineage=True, passes=1)
     t_total0 = time.time()
     ex = run_extraction(spark, corpus, with_lineage=False, passes=2)
-    queries = {"extract_pages": ex["wall_s"]}
+    exf = run_extract_formats(spark, corpus)
+    queries = {
+        "extract_pages": ex["wall_s"],
+        "extract_formats": exf["wall_s"],
+    }
     op_times = run_ops(spark, args.sf_dir)
     total = round(time.time() - t_total0, 3)
     probe_after = host_probe()
@@ -560,6 +595,7 @@ def main():
         },
         "extract_cold": ex_cold,
         "extract_warm": ex,
+        "extract_formats": exf,
         "host_probe": probe,
         "host_probe_after": probe_after,
         "sf": sf,

@@ -115,11 +115,15 @@ def main() -> None:
 
         from pdf_parser_spark.sources.wet import write_wet_files
 
+        # namespace the export by snapshot id: a --resume re-run into
+        # the same --wet-output dir adds files instead of clobbering
+        # the previous run's (each run exports only its new rows)
         wet_lin = write_wet_files(
             extracted.select(
                 "url", "warc_ts", F.col("text_extracted").alias("text")
             ),
             args.wet_output,
+            run_token=str(snap_id),
         ).collect()
         print(f"wet export: {sum(r.n_records for r in wet_lin)} records "
               f"in {len(wet_lin)} files under {args.wet_output}")

@@ -51,9 +51,12 @@ def split_corpus(
     ``train`` / ``val`` are lazy frames backed by a persisted,
     eagerly-materialized id set (ids only — the corpus-wide signature
     frames are unpersisted before this function returns).  Call
-    ``cleanup()`` once both outputs are written to release that cache;
-    the frames remain valid afterwards (they recompute two hash joins
-    against ``df``, not the signature UDF).
+    ``cleanup()`` once both outputs are written to release that cache.
+    The frames remain *valid* afterwards, but not cheap: unpersisting
+    drops the cached id set, whose lineage includes the MinHash
+    signature UDF, so any post-cleanup action re-runs the full
+    signature build.  If cheap reuse after cleanup is needed, write
+    the id set out and re-read it instead of relying on the cache.
     """
     from pdf_parser_spark.ops.dedup import _make_sig_udf, lsh_bands
     from pdf_parser_spark.ops.splits import leaked_val_ids

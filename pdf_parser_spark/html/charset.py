@@ -81,7 +81,14 @@ _WHATWG_ALIASES = {
 # charset= inside e.g. <meta name=description content="..."> or a
 # commented-out tag must be ignored.
 _COMMENT_RE = re.compile(rb"<!--.*?(?:-->|\Z)", re.S)
-_META_TAG_RE = re.compile(rb"<meta[\s/](.{0,512}?)>", re.IGNORECASE | re.S)
+# Quote-aware tag body: the WHATWG prescan tokenizes quoted attribute
+# values, so a '>' INSIDE quotes (content="a > b; charset=...") must not
+# terminate the tag.  The three branches are disjoint on their first
+# byte (", ', other), so the scan is deterministic; the head window is
+# already bounded by PRESCAN_BYTES.
+_META_TAG_RE = re.compile(
+    rb"""<meta[\s/]((?:"[^"]*"|'[^']*'|[^>"'])*?)>""", re.IGNORECASE | re.S
+)
 _ATTR_RE = re.compile(
     rb"""([a-zA-Z][a-zA-Z0-9-]*)\s*=\s*("[^"]*"|'[^']*'|[^\s"'>]+)"""
 )
@@ -116,10 +123,34 @@ def _prescan_meta(head: bytes) -> str | None:
     return None
 
 
+# WHATWG "replacement"-encoding labels + utf-7 (see _resolve_label)
+_REJECTED_LABELS = frozenset(
+    {
+        "csiso2022kr",
+        "hz-gb-2312",
+        "iso-2022-cn",
+        "iso-2022-cn-ext",
+        "iso-2022-kr",
+        "replacement",
+        "utf-7",
+        "unicode-1-1-utf-7",
+        "csunicode11utf7",
+        "x-unicode20utf7",
+    }
+)
+
+
 def _resolve_label(label: str) -> str | None:
     """WHATWG label → Python codec name, or None if unusable."""
     label = label.strip().strip("\"'").lower()
     if not label:
+        return None
+    if label in _REJECTED_LABELS:
+        # labels the WHATWG registry maps to the ``replacement``
+        # encoding (legacy CJK escapements abused for XSS), plus
+        # utf-7, which is not a WHATWG encoding at all — Python's
+        # codec registry would happily decode these, so they must be
+        # rejected BEFORE the codecs.lookup fallback
         return None
     codec = _WHATWG_ALIASES.get(label)
     if codec is None:
@@ -127,6 +158,8 @@ def _resolve_label(label: str) -> str | None:
             codec = codecs.lookup(label).name
         except LookupError:
             return None
+    if codec in ("utf-7", "hz"):
+        return None
     if codec.startswith(("utf-16", "utf-32", "utf_16", "utf_32")):
         # spec: a 16/32-bit meta declaration on a byte-prescannable
         # page is a lie; treat as UTF-8

@@ -42,8 +42,22 @@ def all_queries():
         webcorpus,
     )
 
+    # Module order is load-bearing: the driver's CORRECTNESS pass
+    # evaluates only the first 50 registry entries, so the 14 round-3
+    # operators (containment .. bloom) that never entered round 3's
+    # window come FIRST this round; the 30 entries that fall past the
+    # window now all hold green rows from CORRECTNESS_r03.json.
     out = {}
     for mod in (
+        containment,
+        substring,
+        linkgraph,
+        editverify,
+        selection,
+        sketches,
+        splits,
+        heuristics,
+        bloom,
         dedup,
         similarity,
         textstats,
@@ -58,15 +72,6 @@ def all_queries():
         assembly,
         skewjoin,
         normalize,
-        containment,
-        substring,
-        linkgraph,
-        editverify,
-        selection,
-        sketches,
-        splits,
-        heuristics,
-        bloom,
     ):
         out.update(mod.QUERIES)
     return out

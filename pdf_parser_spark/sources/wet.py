@@ -35,17 +35,23 @@ from __future__ import annotations
 import hashlib
 import os
 import zlib
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, functions as F
 
 CRLF = b"\r\n"
 
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
 
 def wet_record(url: str, ts_micros: int, text: str | None) -> bytes:
     """One deterministic WET ``conversion`` record, uncompressed."""
     body = (text or "").encode("utf-8")
-    ts = datetime.fromtimestamp((ts_micros or 0) / 1_000_000, tz=timezone.utc)
+    # exact integer datetime arithmetic, mirroring the read side's
+    # _warc_ts_micros: fromtimestamp(ts/1e6) goes through a float and
+    # misrounds microseconds for very large timestamps, breaking the
+    # WET write->read identity
+    ts = _EPOCH + timedelta(microseconds=int(ts_micros or 0))
     rec_id = hashlib.md5(
         f"{url}\x00{ts_micros}".encode("utf-8", "surrogateescape")
     ).hexdigest()
@@ -69,7 +75,10 @@ def _gzip_member(record: bytes) -> bytes:
 
 
 def write_wet_files(
-    pages: DataFrame, output_dir: str, compress: bool = True
+    pages: DataFrame,
+    output_dir: str,
+    compress: bool = True,
+    run_token: str | None = None,
 ) -> DataFrame:
     """Stream ``(url, warc_ts, text)`` rows into WET files, one per
     partition; returns the lineage frame ``(file, n_records,
@@ -77,9 +86,18 @@ def write_wet_files(
 
     Empty partitions produce no file.  The lineage frame is the
     action: consuming it (count/collect/write) runs the export.
+
+    ``run_token`` namespaces the export (e.g. the snapshot id), so
+    repeated exports into one directory — the --resume flow exports
+    only each run's new rows — coexist instead of silently replacing
+    the previous run's files.  With or without a token, an existing
+    file at the target name raises rather than being overwritten, and
+    each file is written to a temp name then ``os.replace``d so a
+    retried/speculative task can never leave a torn or racing file.
     """
     os.makedirs(output_dir, exist_ok=True)
     ext = ".warc.wet.gz" if compress else ".warc.wet"
+    prefix = f"{run_token}-part" if run_token else "part"
     sel = pages.select(
         "url", F.unix_micros(F.col("warc_ts")).alias("ts_us"), "text"
     ).sortWithinPartitions("url")
@@ -92,8 +110,14 @@ def write_wet_files(
         import pandas as pd
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        path = os.path.join(output_dir, f"part-{pid:05d}{ext}")
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        path = os.path.join(output_dir, f"{prefix}-{pid:05d}{ext}")
+        # temp name is unique per task ATTEMPT so concurrent
+        # speculative attempts never share a handle; os.replace at the
+        # end publishes the file atomically (same content either way —
+        # records are deterministic and partition-sorted)
+        tmp = f"{path}.inprogress-{ctx.taskAttemptId()}"
         fh = None
         n = n_bytes = 0
         try:
@@ -107,7 +131,13 @@ def write_wet_files(
                         text if isinstance(text, str) else None,
                     )
                     if fh is None:  # lazily: empty partitions emit nothing
-                        fh = open(path, "wb")
+                        if os.path.exists(path):
+                            raise FileExistsError(
+                                f"WET target {path} already exists; pass a "
+                                "fresh run_token (or output_dir) instead of "
+                                "overwriting a previous export"
+                            )
+                        fh = open(tmp, "wb")
                     fh.write(_gzip_member(rec) if compress else rec)
                     n += 1
                     n_bytes += len(rec)
@@ -115,6 +145,7 @@ def write_wet_files(
             if fh is not None:
                 fh.close()
         if n:
+            os.replace(tmp, path)
             yield pd.DataFrame(
                 {"file": [os.path.basename(path)], "n_records": [n],
                  "n_bytes": [n_bytes]}

@@ -124,6 +124,37 @@ def test_stripper_sees_decoded_text():
     assert "Привет" in out and "�" not in out
 
 
+def test_gt_inside_quoted_attr_does_not_truncate_meta():
+    # WHATWG prescan tokenizes quoted values: the '>' inside content=""
+    # must not end the tag and lose the charset declaration
+    page = (
+        b'<meta http-equiv=content-type '
+        b'content="a > b; charset=koi8-r">'
+        + "<p>Привет</p>".encode("koi8-r")
+    )
+    text, codec = sniff_decode(page)
+    assert codec == "koi8-r" and "Привет" in text
+
+
+@pytest.mark.parametrize(
+    "label", [b"utf-7", b"UTF-7", b"hz-gb-2312", b"iso-2022-kr"]
+)
+def test_dangerous_labels_rejected(label):
+    # utf-7 is not a WHATWG encoding and hz/iso-2022-kr map to the
+    # replacement encoding; Python's codec registry would decode them,
+    # so the resolver must reject the label (scan continues to the
+    # next meta / fallback) instead of decoding
+    page = (
+        b"<meta charset=" + label + b">"
+        b"<meta charset=windows-1251>" + "<p>Привет</p>".encode("windows-1251")
+    )
+    text, codec = sniff_decode(page)
+    assert codec == "windows-1251" and "Привет" in text
+    # and with no later meta, fall through to the UTF-8 path
+    _, codec2 = sniff_decode(b"<meta charset=" + label + b"><p>hi</p>")
+    assert codec2 not in ("utf-7", "hz")
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.binary(max_size=400))
 def test_sniff_decode_total(data):

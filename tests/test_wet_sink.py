@@ -95,6 +95,40 @@ def test_wet_empty_partitions_emit_no_file(spark, tmp_path):
     assert len(glob.glob(f"{out}/*")) == len(lineage) <= 2
 
 
+def test_wet_record_timestamp_exact_at_extreme_epochs():
+    """Write-side WARC-Date must round-trip to the exact input micros
+    through the read side's integer parser, including timestamps large
+    enough that float fromtimestamp() misrounds (>= ~2^33 s)."""
+    from pdf_parser_spark.sources.warc import _warc_ts_micros
+
+    for ts in (0, 1, 999_999, 1_735_689_600_123_456,
+               4_000_000_000_000_001,      # just past the old fuzz bound
+               9_007_199_254_740_993,      # 2^53+1: unrepresentable as f64
+               250_000_000_000_000_000):   # year ~9892
+        rec = wet_record("https://x.example/t", ts, "x")
+        date = next(
+            line.split(b": ", 1)[1].decode()
+            for line in rec.split(b"\r\n")
+            if line.startswith(b"WARC-Date:")
+        )
+        assert _warc_ts_micros(date) == ts, (ts, date)
+
+
+def test_wet_run_token_namespaces_and_refuses_overwrite(spark, tmp_path):
+    out = str(tmp_path / "runs")
+    pages = _pages(spark).repartition(2, "url")
+    lin1 = write_wet_files(pages, out, run_token="snap-1").collect()
+    lin2 = write_wet_files(pages, out, run_token="snap-2").collect()
+    names = sorted(os.path.basename(p) for p in glob.glob(f"{out}/*"))
+    assert all(n.startswith(("snap-1-part-", "snap-2-part-")) for n in names)
+    assert len(names) == len(lin1) + len(lin2)
+    # same token (or tokenless collision) must refuse, not clobber
+    with pytest.raises(Exception, match="already exists"):
+        write_wet_files(pages, out, run_token="snap-1").collect()
+    # no torn temp files left behind by the failed run
+    assert not [n for n in glob.glob(f"{out}/*") if ".inprogress-" in n]
+
+
 @pytest.mark.parametrize("compress", [False, True])
 def test_wet_record_roundtrip_property(compress):
     from hypothesis import given, settings, strategies as st
