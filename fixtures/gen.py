@@ -420,6 +420,265 @@ def build_pdf_corpus() -> dict[str, bytes]:
     return {case_id: fn() for case_id, fn in PDF_CASES.items()}
 
 
+# ------------------------------------------- extended-filter PDF cases
+#
+# Fixtures for the opt-in decode extension (engine/filters.py
+# ``extended=True``): real-corpus filters the reference errors on
+# (decode/mod.rs:45-51).  Deliberately NOT in PDF_CASES: the default
+# corpus stays reference-faithful for byte-identity/differential fuzz.
+# Each case returns (encoded_pdf, plain_pdf) built from the SAME
+# content, so tests can assert extended(encoded) == default(plain).
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """PDF-variant LZW encoder (9→12-bit MSB-first codes, 256=clear,
+    257=EOD) — fixture-side twin of filters.lzw_decode; width bumps one
+    entry early so decoder/encoder stay in lockstep."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    emit(256)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        # decoder widens when ITS table (one entry behind ours) plus
+        # early_change reaches 2^width — hence next_code - 1 here
+        if (next_code - 1) + early >= (1 << width) and width < 12:
+            width += 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _a85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i:i + 4]
+        k = len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * (4 - k), "big")
+        if v == 0 and k == 4:
+            out += b"z"
+            continue
+        digits = bytearray(5)
+        for j in range(4, -1, -1):
+            digits[j] = 0x21 + v % 85
+            v //= 85
+        out += digits[: k + 1]
+    return bytes(out) + b"~>"
+
+
+def _rl_encode(data: bytes) -> bytes:
+    """Naive RunLengthDecode inverse: literal chunks of ≤128 bytes,
+    plus one real run so the repeat branch is exercised."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        # find a run of ≥3 identical bytes
+        j = i
+        while j < len(data) and j - i < 127 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal up to next run or 128 bytes
+        lit_end = min(len(data), i + 128)
+        k = i + 1
+        while k < lit_end - 2:
+            if data[k] == data[k + 1] == data[k + 2]:
+                break
+            k += 1
+        else:
+            k = lit_end
+        out += bytes([k - i - 1]) + data[i:k]
+        i = k
+    return bytes(out) + b"\x80"
+
+
+def _png_predict(data: bytes, rowlen: int, bpp: int = 1) -> bytes:
+    """Forward PNG-predictor transform cycling filter tags
+    0/1/2/3/4 per row, so every decoder branch is exercised."""
+    out = bytearray()
+    prior = bytes(rowlen)
+    tags = [0, 1, 2, 3, 4]
+    for r, r0 in enumerate(range(0, len(data), rowlen)):
+        row = data[r0:r0 + rowlen]
+        if len(row) < rowlen:
+            row = row + bytes(rowlen - len(row))
+        tag = tags[r % len(tags)]
+        enc = bytearray(row)
+        if tag == 1:
+            for j in range(rowlen - 1, bpp - 1, -1):
+                enc[j] = (enc[j] - row[j - bpp]) & 0xFF
+        elif tag == 2:
+            for j in range(rowlen):
+                enc[j] = (enc[j] - prior[j]) & 0xFF
+        elif tag == 3:
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                enc[j] = (enc[j] - ((left + prior[j]) >> 1)) & 0xFF
+        elif tag == 4:
+            from pdf_parser_spark.engine.filters import _paeth
+
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                ul = prior[j - bpp] if j >= bpp else 0
+                enc[j] = (enc[j] - _paeth(left, prior[j], ul)) & 0xFF
+        out += bytes([tag]) + enc
+        prior = row
+    return bytes(out)
+
+
+_EXT_CONTENT = _simple_content([
+    (72, 720, 12, "Extended filter content line one."),
+    (72, 704, 12, "It decodes only in extended mode."),
+])
+
+
+def case_ext_lzw() -> tuple[bytes, bytes]:
+    enc = _single_page(_EXT_CONTENT, filters=b"/LZWDecode",
+                       payload=_lzw_encode(_EXT_CONTENT))
+    return enc, _single_page(_EXT_CONTENT)
+
+
+def case_ext_ascii85() -> tuple[bytes, bytes]:
+    enc = _single_page(_EXT_CONTENT, filters=b"/ASCII85Decode",
+                       payload=_a85_encode(_EXT_CONTENT))
+    return enc, _single_page(_EXT_CONTENT)
+
+
+def case_ext_runlength() -> tuple[bytes, bytes]:
+    content = _simple_content([
+        (72, 720, 12, "Run length encoded" + "!" * 40),
+        (72, 704, 12, "with literal spans too."),
+    ])
+    enc = _single_page(content, filters=b"/RunLengthDecode",
+                       payload=_rl_encode(content))
+    return enc, _single_page(content)
+
+
+def case_ext_chain() -> tuple[bytes, bytes]:
+    """[/ASCII85Decode /LZWDecode] applied in array order on decode."""
+    payload = _a85_encode(_lzw_encode(_EXT_CONTENT))
+    enc = _single_page(_EXT_CONTENT,
+                       filters=b"[/ASCII85Decode /LZWDecode]",
+                       payload=payload)
+    return enc, _single_page(_EXT_CONTENT)
+
+
+def case_ext_flate_predictor() -> tuple[bytes, bytes]:
+    """FlateDecode + PNG /Predictor 12 on the content stream (the
+    DecodeParms shape real generators emit for xref streams)."""
+    rowlen = 24
+    predicted = _png_predict(_EXT_CONTENT, rowlen)
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    # NOTE: the predictor pads the tail row with NULs; harmless for a
+    # content stream (NUL is whitespace to the lexer)
+    b.add_stream(4, b"/DecodeParms << /Predictor 12 /Columns %d >>" % rowlen,
+                 zlib.compress(predicted), filters=b"/FlateDecode")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return b.build(), _single_page(_EXT_CONTENT)
+
+
+def case_ext_lzw_early0() -> tuple[bytes, bytes]:
+    """LZW with /EarlyChange 0 in DecodeParms (and a payload long
+    enough to cross the 9→10-bit width boundary, where early-change
+    disagreement corrupts output)."""
+    content = _simple_content([
+        (72, 720 - 14 * i, 10, f"Width boundary crossing line {i} "
+                               f"with enough entropy {i * 37 % 101}")
+        for i in range(12)
+    ])
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.add_stream(4, b"/DecodeParms << /EarlyChange 0 >>",
+                 _lzw_encode(content, early=0), filters=b"/LZWDecode")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return b.build(), _single_page(content)
+
+
+def case_ext_xrefstream_predictor() -> tuple[bytes, bytes]:
+    """Xref STREAM whose entry table is Flate + PNG Predictor 12 —
+    the single most common real-corpus pattern the reference cannot
+    read (every Acrobat/libharu PDF 1.5+ writer emits this)."""
+    content = b"BT /F1 12 Tf 72 720 Td (Predictored xref page) Tj ET"
+    plain = _single_page(content)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for num, body in (
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>"),
+    ):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    offsets[4] = len(out)
+    out += (b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+            + content + b"\nendstream\nendobj\n")
+
+    xref_off = len(out)
+    rows = [(0, 0, 0)] + [(1, offsets[n], 0) for n in (1, 2, 3, 4)]
+    rows.append((1, xref_off, 0))  # object 5: the xref stream itself
+    entry = bytearray()
+    for t, f2, f3 in rows:
+        entry += bytes([t]) + f2.to_bytes(2, "big") + f3.to_bytes(1, "big")
+    rowlen = 4  # W = [1 2 1]
+    xdata = zlib.compress(_png_predict(bytes(entry), rowlen))
+    out += (b"5 0 obj\n<< /Type /XRef /Size 6 /W [1 2 1] /Root 1 0 R "
+            b"/Filter /FlateDecode "
+            b"/DecodeParms << /Predictor 12 /Columns %d >> "
+            b"/Length %d >>\nstream\n" % (rowlen, len(xdata))
+            + xdata + b"\nendstream\nendobj\n")
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out), plain
+
+
+EXTENDED_PDF_CASES = {
+    "ext-lzw": case_ext_lzw,
+    "ext-ascii85": case_ext_ascii85,
+    "ext-runlength": case_ext_runlength,
+    "ext-chain": case_ext_chain,
+    "ext-flate-predictor": case_ext_flate_predictor,
+    "ext-lzw-early0": case_ext_lzw_early0,
+    "ext-xrefstream-predictor": case_ext_xrefstream_predictor,
+}
+
+
+def build_extended_corpus() -> dict[str, tuple[bytes, bytes]]:
+    """case_id → (encoded_pdf, plain twin with identical text)."""
+    return {case_id: fn() for case_id, fn in EXTENDED_PDF_CASES.items()}
+
+
 # ---------------------------------------------------------------- HTML cases
 
 

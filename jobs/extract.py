@@ -41,6 +41,13 @@ def main() -> None:
                     help="extract only page N (1-indexed, CLI-parity "
                          "validation; out-of-range docs get a page_range "
                          "error row)")
+    ap.add_argument("--filters", choices=("reference", "extended"),
+                    default="reference",
+                    help="decode-filter dispatch: 'reference' errors on "
+                         "anything beyond Flate/ASCIIHex (byte-identity "
+                         "default); 'extended' adds LZW/ASCII85/RunLength "
+                         "and /Predictor so real-corpus PDFs decode "
+                         "instead of landing in decode_error")
     ap.add_argument("--resume", action="store_true",
                     help="anti-join input against committed output urls")
     ap.add_argument("--heavy-threshold", type=int, default=1 << 20,
@@ -98,7 +105,8 @@ def main() -> None:
             pages = resume_filter(pages, committed)
 
     extracted = run_extract(pages, fmt=args.format, threshold=args.heavy_threshold,
-                            page=args.page)
+                            page=args.page,
+                            extended_filters=args.filters == "extended")
     # one pass: cache the (small) projected output so the lineage agg
     # doesn't re-run extraction
     extracted = extracted.persist()

@@ -22,9 +22,9 @@ from pdf_parser_spark.engine.render import elements_to_markdown, elements_to_txt
 from pdf_parser_spark.engine.table import Table
 
 
-def pdf_to_text(data: bytes) -> str:
+def pdf_to_text(data: bytes, extended: bool = False) -> str:
     """Layout-aware plain text; pages joined with '\\n' (lib.rs:21-37)."""
-    doc = Document.parse(data)
+    doc = Document.parse(data, extended_filters=extended)
     out = []
     for page_idx in range(doc.page_count()):
         spans = doc.extract_page_text(page_idx)
@@ -35,8 +35,8 @@ def pdf_to_text(data: bytes) -> str:
     return "".join(out)
 
 
-def pdf_to_markdown(data: bytes) -> str:
-    doc = Document.parse(data)
+def pdf_to_markdown(data: bytes, extended: bool = False) -> str:
+    doc = Document.parse(data, extended_filters=extended)
     out = []
     for page_idx in range(doc.page_count()):
         spans = doc.extract_page_text(page_idx)
@@ -47,8 +47,8 @@ def pdf_to_markdown(data: bytes) -> str:
     return "".join(out)
 
 
-def pdf_to_csv(data: bytes) -> str:
-    doc = Document.parse(data)
+def pdf_to_csv(data: bytes, extended: bool = False) -> str:
+    doc = Document.parse(data, extended_filters=extended)
     out = []
     for page_idx in range(doc.page_count()):
         spans = doc.extract_page_text(page_idx)
@@ -59,9 +59,9 @@ def pdf_to_csv(data: bytes) -> str:
     return "".join(out)
 
 
-def pdf_to_tsv(data: bytes) -> str:
+def pdf_to_tsv(data: bytes, extended: bool = False) -> str:
     """CLI ``--tsv`` applied to every page, '\\n'-joined (main.rs:139)."""
-    doc = Document.parse(data)
+    doc = Document.parse(data, extended_filters=extended)
     out = []
     for page_idx in range(doc.page_count()):
         table = Table.from_spans(doc.extract_page_text(page_idx))
@@ -71,9 +71,9 @@ def pdf_to_tsv(data: bytes) -> str:
     return "".join(out)
 
 
-def pdf_to_aligned_text(data: bytes) -> str:
+def pdf_to_aligned_text(data: bytes, extended: bool = False) -> str:
     """CLI ``--text`` (main.rs:140)."""
-    doc = Document.parse(data)
+    doc = Document.parse(data, extended_filters=extended)
     out = []
     for page_idx in range(doc.page_count()):
         table = Table.from_spans(doc.extract_page_text(page_idx))
@@ -90,11 +90,11 @@ def _fmt_f64(x: float) -> str:
     return s[:-2] if s.endswith(".0") else s
 
 
-def pdf_to_raw_spans(data: bytes) -> str:
+def pdf_to_raw_spans(data: bytes, extended: bool = False) -> str:
     """CLI ``--raw`` debug format ``[x, y] (sizept): text``
     (main.rs:106-115) — including the reference's literal,
     un-interpolated ``--- Page {} ---`` separator."""
-    doc = Document.parse(data)
+    doc = Document.parse(data, extended_filters=extended)
     out = []
     for page_idx in range(doc.page_count()):
         spans = doc.extract_page_text(page_idx)
@@ -105,12 +105,12 @@ def pdf_to_raw_spans(data: bytes) -> str:
     return "".join(out)
 
 
-def pdf_to_simple_text(data: bytes) -> str:
+def pdf_to_simple_text(data: bytes, extended: bool = False) -> str:
     """E6: line-grouped text with FIXED y-tolerance 3.0, spans joined
     ' ', lines '\n' (document.rs:837-885 — deliberately distinct from
     the layout path's font-size-relative tolerances); pages joined
     '\n' like the other formats."""
-    doc = Document.parse(data)
+    doc = Document.parse(data, extended_filters=extended)
     out = []
     for page_idx in range(doc.page_count()):
         if any(out):  # string-empty check (lib.rs !output.is_empty())
@@ -119,15 +119,15 @@ def pdf_to_simple_text(data: bytes) -> str:
     return "".join(out)
 
 
-def pdf_page_count(data: bytes) -> int:
-    return Document.parse(data).page_count()
+def pdf_page_count(data: bytes, extended: bool = False) -> int:
+    return Document.parse(data, extended_filters=extended).page_count()
 
 
-def pdf_page_to_csv(data: bytes, page: int) -> str:
+def pdf_page_to_csv(data: bytes, page: int, extended: bool = False) -> str:
     """Single page (0-indexed) as CSV — the WASM API's
     ``pdf_page_to_csv`` (reference wasm.rs:79-97).  An out-of-range
     page propagates the document error, like the Rust `?`."""
-    doc = Document.parse(data)
+    doc = Document.parse(data, extended_filters=extended)
     return Table.from_spans(doc.extract_page_text(page)).to_csv()
 
 
@@ -135,7 +135,12 @@ class PageRangeError(ValueError):
     """CLI-level invalid ``--page N`` (reference main.rs:90-93)."""
 
 
-def pdf_extract(data: bytes, fmt: str = "txt", page: int | None = None) -> str:
+def pdf_extract(
+    data: bytes,
+    fmt: str = "txt",
+    page: int | None = None,
+    extended: bool = False,
+) -> str:
     """The CLI's whole output-building loop (main.rs:88-150): optional
     1-indexed single-page filter validated against the page count, and
     — unlike the lib.rs entry points — pages that fail to extract are
@@ -146,7 +151,7 @@ def pdf_extract(data: bytes, fmt: str = "txt", page: int | None = None) -> str:
     byte-identical to ``pdf-table <file> --<fmt>`` stdout sans the
     trailing println newline (pinned by tests/test_reference_binary).
     """
-    return _cli_extract(Document.parse(data), fmt, page)
+    return _cli_extract(Document.parse(data, extended_filters=extended), fmt, page)
 
 
 def _cli_extract(doc: Document, fmt: str, page: int | None) -> str:
@@ -210,7 +215,7 @@ def _cli_extract(doc: Document, fmt: str, page: int | None) -> str:
 ALL_FORMATS = ("txt", "md", "csv", "tsv", "text", "raw", "simple")
 
 
-def extract_all_formats(data: bytes) -> dict[str, str]:
+def extract_all_formats(data: bytes, extended: bool = False) -> dict[str, str]:
     """Parse ONCE, render every format from the same per-page span
     sets — the production multi-format export path.  The CLI (and the
     per-format functions mirroring lib.rs) re-parse the document for
@@ -220,7 +225,7 @@ def extract_all_formats(data: bytes) -> dict[str, str]:
     grouping), so each page is parsed to spans once and every renderer
     consumes the same list.  Byte-identical to calling the individual
     format functions (pinned by tests/test_api.py)."""
-    doc = Document.parse(data)
+    doc = Document.parse(data, extended_filters=extended)
     outs: dict[str, list[str]] = {f: [] for f in ALL_FORMATS}
     for page_idx in range(doc.page_count()):
         spans = doc.extract_page_text(page_idx)
@@ -312,7 +317,10 @@ def _txt_with_spans(doc: Document) -> tuple[str, list[tuple[int, int, str]], int
 
 
 def extract_document(
-    data: bytes | None, fmt: str = "txt", page: int | None = None
+    data: bytes | None,
+    fmt: str = "txt",
+    page: int | None = None,
+    extended_filters: bool = False,
 ) -> dict:
     """One Spark row in, one structured result out; never raises.
 
@@ -320,7 +328,10 @@ def extract_document(
     anything else → HTML boilerplate stripper.  Errors are values.
     ``page`` (1-indexed, PDF path only) scopes extraction to a single
     page with the CLI's validation semantics (main.rs:88-96); out of
-    range becomes a ``page_range`` error row.
+    range becomes a ``page_range`` error row.  ``extended_filters``
+    opt-in adds LZW/ASCII85/RunLength/predictor decode (public-spec
+    algorithms the reference errors on) — default off keeps the path
+    reference-exact.
     """
     result = {
         "text": "",
@@ -339,7 +350,7 @@ def extract_document(
     if bytes(data[:5]) == b"%PDF-":
         result["doc_type"] = "pdf"
         try:
-            doc = Document.parse(bytes(data))
+            doc = Document.parse(bytes(data), extended_filters=extended_filters)
             if page is not None:
                 result["text"] = _cli_extract(doc, fmt, page)
             elif fmt == "txt":
@@ -348,7 +359,9 @@ def extract_document(
                 result["spans"] = spans
                 result["n_elements"] = n_elements
             elif fmt in _FORMATS:
-                result["text"] = _FORMATS[fmt](bytes(data))
+                result["text"] = _FORMATS[fmt](
+                    bytes(data), extended=extended_filters
+                )
             else:
                 # unrecognized fmt: the reference CLI's wildcard arm
                 # renders CSV (main.rs:141) — never a KeyError that

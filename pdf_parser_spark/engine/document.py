@@ -74,26 +74,40 @@ class XRefEntry:
 
 
 class Document:
-    __slots__ = ("data", "xref", "trailer", "cache", "_pages", "_font_encs")
+    __slots__ = (
+        "data", "xref", "trailer", "cache", "_pages", "_font_encs",
+        "extended_filters",
+    )
 
-    def __init__(self, data: bytes, xref: dict, trailer: dict):
+    def __init__(
+        self,
+        data: bytes,
+        xref: dict,
+        trailer: dict,
+        extended_filters: bool = False,
+    ):
         self.data = data
         self.xref = xref
         self.trailer = trailer
         self.cache: dict[Ref, object] = {}
         self._pages = None
         self._font_encs: dict[Ref, FontEncoding] = {}
+        # opt-in LZW/A85/RunLength/predictor support (filters.py);
+        # False keeps decode dispatch reference-exact
+        self.extended_filters = extended_filters
 
     # -- construction ----------------------------------------------------
 
     @classmethod
-    def parse(cls, data: bytes) -> "Document":
+    def parse(cls, data: bytes, extended_filters: bool = False) -> "Document":
         if not data.startswith(b"%PDF-"):
             raise MissingHeader("missing %PDF header")
         startxref_pos = find_startxref(data)
         xref_offset = parse_startxref(data, startxref_pos)
-        xref, trailer = parse_xref_and_trailer(data, xref_offset)
-        return cls(data, xref, trailer)
+        xref, trailer = parse_xref_and_trailer(
+            data, xref_offset, extended=extended_filters
+        )
+        return cls(data, xref, trailer, extended_filters=extended_filters)
 
     # -- object resolution -------------------------------------------------
 
@@ -146,7 +160,9 @@ class Document:
         stream_obj = self.resolve(Ref(stream_num, 0))
         if not isinstance(stream_obj, Stream):
             raise InvalidStructure("Object stream is not a stream")
-        decoded = decode_stream(stream_obj.dict, stream_obj.data)
+        decoded = decode_stream(
+            stream_obj.dict, stream_obj.data, extended=self.extended_filters
+        )
         n = as_int(stream_obj.dict.get("N"))
         if n is None:
             raise InvalidStructure("ObjStm missing /N")
@@ -276,7 +292,7 @@ class Document:
         obj = self.resolve(ref)
         if not isinstance(obj, Stream):
             raise InvalidStructure("Expected stream object")
-        return decode_stream(obj.dict, obj.data)
+        return decode_stream(obj.dict, obj.data, extended=self.extended_filters)
 
     def get_page_contents(self, page) -> bytes:
         d = as_dict(page)
@@ -436,7 +452,9 @@ def parse_startxref(data: bytes, pos: int) -> int:
     raise ParseError(pos, "Expected xref offset after startxref")
 
 
-def parse_xref_and_trailer(data: bytes, offset: int) -> tuple[dict, dict]:
+def parse_xref_and_trailer(
+    data: bytes, offset: int, extended: bool = False
+) -> tuple[dict, dict]:
     """Follow the Prev chain; the first (newest) trailer wins
     (document.rs:90-141)."""
     xref: dict[int, XRefEntry] = {}
@@ -462,7 +480,9 @@ def parse_xref_and_trailer(data: bytes, offset: int) -> tuple[dict, dict]:
                 break
             current = prev
         else:
-            stream_trailer, prev = parse_xref_stream(data, current, xref)
+            stream_trailer, prev = parse_xref_stream(
+                data, current, xref, extended=extended
+            )
             if final_trailer is None:
                 final_trailer = stream_trailer
             if prev is None:
@@ -583,7 +603,9 @@ def find_and_parse_trailer(data: bytes, xref_offset: int) -> dict:
     raise InvalidStructure("Trailer must be dictionary")
 
 
-def parse_xref_stream(data: bytes, offset: int, xref: dict) -> tuple[dict, int | None]:
+def parse_xref_stream(
+    data: bytes, offset: int, xref: dict, extended: bool = False
+) -> tuple[dict, int | None]:
     """PDF 1.5+ xref stream (document.rs:298-446): /W 3-field
     big-endian rows over /Index ranges (default ``[0 Size]``); type 0
     free, 1 offset, 2 compressed-in-ObjStm; existing (newer) entries
@@ -604,7 +626,7 @@ def parse_xref_stream(data: bytes, offset: int, xref: dict) -> tuple[dict, int |
         raise InvalidStructure("XRef stream offset does not point to a stream object")
 
     d = stream_obj.dict
-    decoded = decode_stream(d, stream_obj.data)
+    decoded = decode_stream(d, stream_obj.data, extended=extended)
 
     w = as_array(d.get("W"))
     if w is None:

@@ -61,6 +61,7 @@ def run_extract(
     heavy_partitions: int | None = None,
     bucket_normal: bool = False,
     page: int | None = None,
+    extended_filters: bool = False,
 ) -> DataFrame:
     """Two-pass extraction plan with explicit compute-skew routing.
 
@@ -91,8 +92,10 @@ def run_extract(
         n_heavy, F.xxhash64("url")
     )
 
-    extracted = with_extraction(normal, fmt, page=page).unionByName(
-        with_extraction(heavy, fmt, page=page)
+    extracted = with_extraction(
+        normal, fmt, page=page, extended=extended_filters
+    ).unionByName(
+        with_extraction(heavy, fmt, page=page, extended=extended_filters)
     )
     return extracted.select(*OUTPUT_COLUMNS)
 

@@ -51,10 +51,14 @@ EXTRACT_TYPE = StructType(
 SPAN_STRUCT_DDL = "array<struct<start:bigint,end:bigint,kind:string>>"
 
 
-def _extract_batch(html: pd.Series, fmt: str, page: int | None) -> pd.DataFrame:
+def _extract_batch(
+    html: pd.Series, fmt: str, page: int | None, extended: bool = False
+) -> pd.DataFrame:
     rows = []
     for data in html:
-        r = extract_document(data, fmt=fmt, page=page)
+        r = extract_document(
+            data, fmt=fmt, page=page, extended_filters=extended
+        )
         spans = r["spans"]
         rows.append(
             (
@@ -85,26 +89,29 @@ def _extract_batch(html: pd.Series, fmt: str, page: int | None) -> pd.DataFrame:
     )
 
 
-def make_extract_udf(fmt: str = "txt", page: int | None = None):
+def make_extract_udf(
+    fmt: str = "txt", page: int | None = None, extended: bool = False
+):
     """Struct-returning pandas UDF: ``html BINARY → extracted STRUCT``.
     ``page`` scopes PDF extraction to one 1-indexed page (CLI --page
-    semantics, main.rs:88-96)."""
+    semantics, main.rs:88-96); ``extended`` opts into the
+    LZW/A85/RunLength/predictor decode extension (engine/filters.py)."""
 
     @pandas_udf(EXTRACT_TYPE)
     def extract(html: pd.Series) -> pd.DataFrame:
-        return _extract_batch(html, fmt, page)
+        return _extract_batch(html, fmt, page, extended)
 
     return extract
 
 
 def with_extraction(df, fmt: str = "txt", html_col: str = "html",
-                    page: int | None = None):
+                    page: int | None = None, extended: bool = False):
     """Append extraction columns to a pages DataFrame.
 
     Narrow map — no shuffle; Catalyst prunes unused input columns
     around the UDF boundary.
     """
-    extract = make_extract_udf(fmt, page)
+    extract = make_extract_udf(fmt, page, extended)
     return (
         df.withColumn("_ex", extract(F.col(html_col)))
         .withColumn("text_extracted", F.col("_ex.text"))

@@ -170,3 +170,41 @@ def test_page_scoped_extraction_in_spark(spark, pages_df):
         else:
             assert got[url]["decode_error_kind"] == "page_range", cid
             assert "Invalid page number: 2" in got[url]["decode_error"], cid
+
+
+def test_extended_filters_convert_error_rows_to_text(spark):
+    """The --filters=extended e2e: a corpus of LZW/A85/RunLength/
+    predictor PDFs is all decode_error rows under the default dispatch
+    and all text rows (matching each plain twin's byte-identical
+    extraction) under extended_filters=True."""
+    from fixtures.gen import build_extended_corpus
+
+    corpus = build_extended_corpus()
+    rows = [
+        (f"https://fixtures.test/{cid}", _EPOCH, bytearray(enc), "", "en")
+        for cid, (enc, _plain) in corpus.items()
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+
+    default = {
+        r["url"]: r
+        for r in run_extract(pages, threshold=100_000).collect()
+    }
+    extended = {
+        r["url"]: r
+        for r in run_extract(
+            pages, threshold=100_000, extended_filters=True
+        ).collect()
+    }
+    from pdf_parser_spark.engine.api import pdf_to_text
+
+    for cid, (enc, plain) in corpus.items():
+        url = f"https://fixtures.test/{cid}"
+        want = pdf_to_text(plain)
+        # default: error row (or at minimum NOT the twin's text)
+        d = default[url]
+        assert d["decode_error_kind"] is not None or d["text_extracted"] != want, cid
+        # extended: clean text row matching the plain twin
+        e = extended[url]
+        assert e["decode_error_kind"] is None, (cid, e["decode_error"])
+        assert e["text_extracted"].rstrip("\x00") == want.rstrip("\x00"), cid
