@@ -1,17 +1,21 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed via ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked deterministic STUB (md5-derived pseudo-metadata) — but
-the Spark-side plumbing is real and exactly what a production decode
-needs: Arrow-batched ``mapInPandas`` over a binary column, small
-batch sizes for MB-scale payloads, schema'd struct output, and errors
-as values.  Swap :func:`_decode_stub` for PIL/ffmpeg on a real
-cluster and nothing else changes.
+Image METADATA (format, dimensions, frame count) is parsed for real
+from container headers — PNG/JPEG/GIF/WebP via stdlib ``struct``
+(ops/imagemeta.py); no codecs needed.  Only pixel decoding remains a
+clearly-marked deterministic STUB (md5-derived pseudo-metadata for
+unrecognized payloads) because the container has no PIL/ffmpeg.  The
+Spark-side plumbing is exactly what a production decode needs:
+Arrow-batched ``mapInPandas`` over a binary column, small batch sizes
+for MB-scale payloads, schema'd struct output, and errors as values.
+Swap :func:`_decode_stub` for PIL/ffmpeg on a real cluster and
+nothing else changes.
 
-Because the stub is pure md5 arithmetic, it ALSO has an exact SQL
-twin — so even the multimodal path gets a full value-level oracle
-check, not just a rows-only check.
+Because the driver's stand-in payloads (document text) never hit the
+real-image path (see :func:`_decode`), the stub is pure md5
+arithmetic with an exact SQL twin — so the multimodal path keeps a
+full value-level oracle check, not just a rows-only check.
 """
 
 from __future__ import annotations
@@ -51,9 +55,9 @@ def _h32_py(s: bytes) -> int:
 
 
 def _decode_stub(payload: bytes) -> tuple[str, int, int, int]:
-    """STUB for the real image/video decode (PIL / ffmpeg not in this
-    container).  Deterministic md5-derived metadata; a real deployment
-    replaces ONLY this function:
+    """Fallback for UNRECOGNIZED payloads only (real pixel decode needs
+    codec libraries this container lacks).  Deterministic md5-derived
+    metadata; a real deployment replaces ONLY this function:
 
         img = PIL.Image.open(io.BytesIO(payload))       # real decode
         return img.format.lower(), img.width, img.height, 1
@@ -64,6 +68,26 @@ def _decode_stub(payload: bytes) -> tuple[str, int, int, int]:
     height = 16 + (_h32_py(b"h|" + payload) % 240)
     n_frames = 1 + (_h32_py(b"f|" + payload) % 4)
     return fmt, width, height, n_frames
+
+
+def _decode(payload: bytes) -> tuple[str, int, int, int]:
+    """Image metadata: REAL header parse first (PNG IHDR / JPEG SOFn /
+    GIF screen descriptor / WebP VP8·VP8L·VP8X — stdlib ``struct``
+    over public format specs, ops/imagemeta.py), md5 stub only for
+    formats the header parser does not recognize.
+
+    Oracle note: the driver's stand-in payloads are UTF-8 document
+    text, where the PNG/JPEG magics are unreachable by construction
+    (0x89/0xFF are never the first byte of UTF-8 text) and the
+    GIF/RIFF ASCII magics never occur in the synthetic corpus
+    (asserted by tests/test_multimodal_imagemeta.py), so the SQL twin
+    remains the stub arithmetic."""
+    from pdf_parser_spark.ops.imagemeta import parse_image_header
+
+    real = parse_image_header(payload)
+    if real is not None:
+        return real
+    return _decode_stub(payload)
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,7 +107,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 payload = text.encode("utf-8")
                 try:
-                    fmt, w, h, nf = _decode_stub(payload)
+                    fmt, w, h, nf = _decode(payload)
                     rows.append((doc_id, len(payload), fmt, w, h, nf, None))
                 except Exception as e:  # noqa: BLE001 — row-level error
                     rows.append((doc_id, len(payload), None, None, None, None, str(e)))
@@ -144,7 +168,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 payload = text.encode("utf-8")
-                _fmt, _w, _h, n_frames = _decode_stub(payload)
+                _fmt, _w, _h, n_frames = _decode(payload)
                 for idx in range(0, n_frames, FRAME_STRIDE):
                     rows.append(
                         (
@@ -201,7 +225,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 payload = text.encode("utf-8")
-                _fmt, w, h, _nf = _decode_stub(payload)
+                _fmt, w, h, _nf = _decode(payload)
                 m = max(w, h)
                 tw = max(1, (w * RESIZE_BOX) // m)
                 th = max(1, (h * RESIZE_BOX) // m)
