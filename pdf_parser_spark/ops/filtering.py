@@ -23,10 +23,13 @@ from pdf_parser_spark.ops.common import load_table, tokens, tokens_sql
 
 # url_host_filter: doc_id % URL_MOD picks the page path (shared with
 # several docs so hosts repeat); every 7th document is crawled from a
-# subdomain of its source host so the suffix rule is exercised
+# subdomain of its source host so the suffix rule is exercised, and
+# the TLD cycles across PSL boundaries (flat .com/.org vs two-level
+# .co.uk/.com.au) so registered-domain derivation is observable
 URL_MOD = 250
 SUBDOMAIN_MOD = 7
 BLOCKED_SOURCES = ("src1", "src4", "src7")
+TLD_SUFFIXES = ("com", "co.uk", "org", "com.au")
 
 # incremental_dedup: which documents form the "new" crawl batch
 NEW_BATCH_MOD = 5
@@ -46,86 +49,112 @@ PCT_POINTS = (25, 50, 75, 90)
 # ---------------------------------------------------------------------------
 
 def url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocklist filtering: a document whose host IS a blocked domain
-    or is a SUBDOMAIN of one (news.src1.example.com matches blocked
-    src1.example.com) is rejected; everything else is kept.  Emits one
-    row per document with the verdict and the matched rule so rejects
-    are auditable.
+    """Blocklist filtering: a document whose host's REGISTERED DOMAIN
+    (eTLD+1 per the public-suffix list — see ops/psl.py) is on the
+    blocklist is rejected, so subdomains match their registrant
+    (news.src1-web.co.uk matches blocked src1-web.co.uk) and unrelated
+    registrants under the same public suffix never do.  Emits one row
+    per document with the host, the derived registered domain, the
+    verdict, and the matched rule so rejects are auditable.
 
-    Scale: suffix matching is rewritten as an equi-join — the narrow
-    scan derives each url's *registered domain* (last three labels),
-    which is the only granularity the blocklist uses, and joins it
-    against the **broadcast** blocklist.  No LIKE-scan per rule, no
-    shuffle of text; the only moved columns are (doc_id, host).  A
-    blocklist of millions of rules would swap the broadcast for a
-    shuffled join still keyed on the registered domain — the plan
-    shape survives.
+    A fixed-label heuristic can't do this: "last three labels" turns
+    news.src1-web.org into news.src1-web.org (missing the registrant)
+    while src1-web.co.uk needs exactly those three — the PSL is the
+    only correct boundary, which is why the synthesized hosts cycle
+    across flat (.com/.org) and two-level (.co.uk/.com.au) registries.
+
+    Scale: suffix matching is rewritten as two equi-joins — the narrow
+    (doc_id, host) scan derives the registered domain against the
+    **broadcast** PSL rules table (explode of ≤5 bounded candidate
+    suffixes, arg-max on rule priority), then joins the result against
+    the **broadcast** blocklist.  No LIKE-scan per rule, no shuffle of
+    text; the only moved columns are (doc_id, host, reg_domain).  A
+    blocklist of millions of rules would swap its broadcast for a
+    shuffled join still keyed on the registered domain, and the PSL
+    side stays broadcast (the full public list is ~10k rows) — the
+    plan shape survives.
     """
+    from pdf_parser_spark.ops.psl import with_registered_domain
+
     docs = load_table(spark, sf_dir, "documents")
-    base_host = F.concat(F.col("source"), F.lit(".example.com"))
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in TLD_SUFFIXES]),
+        (F.col("doc_id") % len(TLD_SUFFIXES) + 1).cast("int"),
+    )
+    site = F.concat(F.col("source"), F.lit("-web."), suffix)
     host = F.when(
         F.col("doc_id") % SUBDOMAIN_MOD == 0,
-        F.concat(F.lit("news."), base_host),
-    ).otherwise(base_host)
-    url = F.concat(
-        F.lit("https://"), host, F.lit("/page/"),
-        (F.col("doc_id") % URL_MOD).cast("string"),
-    )
-    pages = docs.select(
-        "doc_id",
-        url.alias("url"),
-        host.alias("host"),
-        # registered domain = last three dot-labels of the host
-        F.substring_index(host, ".", -3).alias("reg_domain"),
-    )
+        F.concat(F.lit("news."), site),
+    ).otherwise(site)
+    pages = docs.select("doc_id", host.alias("host"))
+    withdom = with_registered_domain(pages)  # (doc_id, host, reg_domain)
     # JVM-literal blocklist (LocalTableScan): spark.createDataFrame on
     # a Python list plans a Scan ExistingRDD that spins up a Python
-    # worker + an extra job just to broadcast 3 rows — measured ~0.7 s
-    # of fixed overhead per run (the whole query's peers run in ~0.2 s).
-    # At production scale the blocklist arrives as a table/file read,
-    # never a driver-side Python list.
+    # worker + an extra job just to broadcast a dozen rows — measured
+    # ~0.7 s of fixed overhead per run (the whole query's peers run in
+    # ~0.2 s).  At production scale the blocklist arrives as a
+    # table/file read, never a driver-side Python list.
     blocklist = spark.range(1).select(
         F.explode(
-            F.array(*[F.lit(f"{s}.example.com") for s in BLOCKED_SOURCES])
+            F.array(
+                *[
+                    F.lit(f"{s}-web.{suf}")
+                    for s in BLOCKED_SOURCES
+                    for suf in TLD_SUFFIXES
+                ]
+            )
         ).alias("blocked_domain")
     )
-    joined = pages.join(
+    joined = withdom.join(
         F.broadcast(blocklist),
-        pages["reg_domain"] == blocklist["blocked_domain"],
+        withdom["reg_domain"] == blocklist["blocked_domain"],
         "left",
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("host"), F.lit("/page/"),
+        (F.col("doc_id") % URL_MOD).cast("string"),
     )
     return joined.select(
         "doc_id",
-        "url",
+        url.alias("url"),
         "host",
+        "reg_domain",
         F.col("blocked_domain").isNull().alias("kept"),
         F.coalesce("blocked_domain", F.lit("")).alias("blocked_by"),
     )
 
 
-URL_HOST_FILTER_SQL = f"""
+def _url_host_filter_sql() -> str:
+    from pdf_parser_spark.ops.psl import psl_join_sql
+
+    suffixes = ", ".join(f"'{s}'" for s in TLD_SUFFIXES)
+    blocked = [
+        f"{s}-web.{suf}" for s in BLOCKED_SOURCES for suf in TLD_SUFFIXES
+    ]
+    return f"""
 WITH pages AS (
   SELECT doc_id,
-         CASE WHEN doc_id % {SUBDOMAIN_MOD} = 0
-              THEN 'news.' || source || '.example.com'
-              ELSE source || '.example.com' END AS host
+         CASE WHEN doc_id % {SUBDOMAIN_MOD} = 0 THEN 'news.' ELSE '' END
+         || source || '-web.'
+         || list_extract([{suffixes}], (doc_id % {len(TLD_SUFFIXES)})::INT + 1)
+         AS host
   FROM documents
 ),
-withdom AS (
-  SELECT doc_id,
-         'https://' || host || '/page/' || (doc_id % {URL_MOD})::VARCHAR AS url,
-         host,
-         array_to_string(string_split(host, '.')[-3:], '.') AS reg_domain
-  FROM pages
-),
+{psl_join_sql('pages')},
 blocklist AS (
-  SELECT unnest({[f"{s}.example.com" for s in BLOCKED_SOURCES]}) AS blocked_domain
+  SELECT unnest({blocked}) AS blocked_domain
 )
-SELECT w.doc_id, w.url, w.host,
+SELECT p.doc_id,
+       'https://' || p.host || '/page/' || (p.doc_id % {URL_MOD})::VARCHAR AS url,
+       p.host,
+       p.reg_domain,
        b.blocked_domain IS NULL AS kept,
        coalesce(b.blocked_domain, '') AS blocked_by
-FROM withdom w LEFT JOIN blocklist b ON w.reg_domain = b.blocked_domain
+FROM pages_psl p LEFT JOIN blocklist b ON p.reg_domain = b.blocked_domain
 """
+
+
+URL_HOST_FILTER_SQL = _url_host_filter_sql()
 
 
 # ---------------------------------------------------------------------------

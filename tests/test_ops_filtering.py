@@ -30,20 +30,32 @@ def spark():
 
 
 def test_url_host_filter_blocks_subdomains(spark):
+    from pdf_parser_spark.ops.psl import registered_domain
+
     rows = filtering.url_host_filter(spark, SF_DIR).collect()
     by_id = {r.doc_id: r for r in rows}
-    blocked_hosts = {f"{s}.example.com" for s in filtering.BLOCKED_SOURCES}
+    blocked_domains = {
+        f"{s}-web.{suf}"
+        for s in filtering.BLOCKED_SOURCES
+        for suf in filtering.TLD_SUFFIXES
+    }
     saw_subdomain_block = False
+    saw_two_level_tld = False
     for r in rows:
-        base = r.host.removeprefix("news.")
-        if base in blocked_hosts:
-            assert not r.kept and r.blocked_by == base
+        # the in-plan PSL derivation agrees with the pure-Python twin
+        assert r.reg_domain == registered_domain(r.host)
+        if r.reg_domain in blocked_domains:
+            assert not r.kept and r.blocked_by == r.reg_domain
             if r.host.startswith("news."):
                 saw_subdomain_block = True
+            if r.reg_domain.endswith((".co.uk", ".com.au")):
+                saw_two_level_tld = True
         else:
             assert r.kept and r.blocked_by == ""
-    # the suffix rule must actually have been exercised
+    # both the subdomain rule and a two-level public suffix (where the
+    # old last-N-labels heuristic breaks) must have been exercised
     assert saw_subdomain_block
+    assert saw_two_level_tld
     assert len(by_id) == len(rows)  # one verdict per document
 
 

@@ -1,0 +1,133 @@
+"""Public-suffix-list registered-domain derivation (ops/psl.py).
+
+Three implementations must agree everywhere: the pure-Python twin,
+the Spark explode→broadcast-join plan, and the DuckDB CTE fragment
+used by oracles.  The pure-Python twin is itself pinned against the
+applicable vectors from the public publicsuffix.org test file
+(hosts pre-normalized: lowercase, no empty labels — the pipeline's
+canonicalization guarantees both upstream).
+"""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pdf_parser_spark.ops.psl import (  # noqa: E402
+    PSL_SNAPSHOT,
+    psl_join_sql,
+    registered_domain,
+    with_registered_domain,
+)
+
+# (host, expected registered domain) — the publicsuffix.org
+# checkPublicSuffix vectors whose rules the snapshot carries, plus the
+# unlisted-TLD implicit-'*' cases.
+OFFICIAL_VECTORS = [
+    # unlisted TLD → implicit '*' rule
+    ("example", None),
+    ("example.example", "example.example"),
+    ("b.example.example", "example.example"),
+    ("a.b.example.example", "example.example"),
+    # flat TLD
+    ("com", None),
+    ("example.com", "example.com"),
+    ("www.example.com", "example.com"),
+    ("b.example.com", "example.com"),
+    # two-level registry (.co.uk) vs flat (.org) — the heuristic killer
+    ("uk", None),
+    ("co.uk", None),
+    ("example.co.uk", "example.co.uk"),
+    ("b.example.co.uk", "example.co.uk"),
+    ("a.b.example.co.uk", "example.co.uk"),
+    ("example.org", "example.org"),
+    ("blog.example.org", "example.org"),
+    # jp incl. the kawasaki wildcard + exception triple
+    ("jp", None),
+    ("test.jp", "test.jp"),
+    ("www.test.jp", "test.jp"),
+    ("ac.jp", None),
+    ("test.ac.jp", "test.ac.jp"),
+    ("www.test.ac.jp", "test.ac.jp"),
+    ("kawasaki.jp", None),
+    ("test.kawasaki.jp", None),
+    # '*.kawasaki.jp' makes test.kawasaki.jp itself the public suffix,
+    # so the 4-label host is the registrant
+    ("www.test.kawasaki.jp", "www.test.kawasaki.jp"),
+    ("x.www.test.kawasaki.jp", "www.test.kawasaki.jp"),
+    ("city.kawasaki.jp", "city.kawasaki.jp"),
+    ("www.city.kawasaki.jp", "city.kawasaki.jp"),
+    # ck: pure-wildcard registry with an exception
+    ("ck", None),
+    ("test.ck", None),
+    ("b.test.ck", "b.test.ck"),
+    ("a.b.test.ck", "b.test.ck"),
+    ("www.ck", "www.ck"),
+    ("www.www.ck", "www.ck"),
+    # au two-level
+    ("com.au", None),
+    ("example.com.au", "example.com.au"),
+    ("www.example.com.au", "example.com.au"),
+]
+
+HOSTS = [h for h, _ in OFFICIAL_VECTORS]
+
+
+@pytest.mark.parametrize("host,expected", OFFICIAL_VECTORS)
+def test_python_twin_official_vectors(host, expected):
+    assert registered_domain(host) == expected
+
+
+def test_snapshot_has_every_rule_shape():
+    kinds = {
+        "wildcard" if r.startswith("*.") else "exception" if r.startswith("!")
+        else "normal"
+        for r in PSL_SNAPSHOT
+    }
+    assert kinds == {"normal", "wildcard", "exception"}
+
+
+def test_duckdb_fragment_matches_python_twin():
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{h}')" for i, h in enumerate(HOSTS))
+    q = (
+        f"WITH pages(doc_id, host) AS (VALUES {vals}),\n"
+        f"{psl_join_sql('pages')}\n"
+        "SELECT doc_id, host, reg_domain FROM pages_psl ORDER BY doc_id"
+    )
+    for _, host, reg in con.execute(q).fetchall():
+        assert reg == registered_domain(host), host
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pdf_parser_spark.spark.session import build_session
+
+    s = build_session("psl-tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+def test_spark_plan_matches_python_twin(spark):
+    df = spark.createDataFrame(
+        list(enumerate(HOSTS)), "doc_id INT, host STRING"
+    )
+    out = with_registered_domain(df)
+    rows = out.collect()
+    assert len(rows) == len(HOSTS)  # fan-out re-collapsed, one row per host
+    for r in rows:
+        assert r.reg_domain == registered_domain(r.host), r.host
+
+
+def test_spark_plan_broadcasts_rules(spark):
+    df = spark.createDataFrame(
+        list(enumerate(HOSTS)), "doc_id INT, host STRING"
+    )
+    plan = with_registered_domain(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
