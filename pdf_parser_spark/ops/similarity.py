@@ -222,33 +222,61 @@ FROM ranked WHERE rank <= {IVF_K}
 LSH_QUERY_LO, LSH_QUERY_HI = 24, 32
 LSH_K = 3
 LSH_BIT_LO, LSH_BIT_HI = 2, 8  # sign bits over components 2..7
+LSH_N_BITS = LSH_BIT_HI - LSH_BIT_LO
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed cosine top-k: every vector gets a 6-bit
-    sign sketch (axis-aligned hyperplanes over components 2-7, the
-    same family as dedup_embedding_cosine); queries probe only their
-    own bucket and rank candidates by exact cosine.
+    """Hyperplane-LSH bucketed cosine top-k with multi-probe: every
+    vector gets a 6-bit sign sketch (axis-aligned hyperplanes over
+    components 2-7, the same family as dedup_embedding_cosine); each
+    query probes its own bucket PLUS every bucket at Hamming
+    distance 1 (one sketch bit flipped) — the standard multi-probe LSH
+    recall recovery for near-hyperplane vectors — and ranks candidates
+    by exact cosine.
 
     Scale: the sketch is narrow codegen over the scan — no training
     pass (the IVF variant's centroid assignment) and no corpus-wide
-    shuffle: the probe join is keyed on the 6-bit bucket with the
-    query side broadcast, so each query reads ~1/64th of the corpus.
-    The production recall knob is multi-probe (flip one sketch bit per
-    extra probe) or repeated sketches, both of which only multiply the
-    broadcast side.
+    shuffle: the probe fan-out happens on the **broadcast** query side
+    (explode to 1+6 probe buckets per query), the corpus side is still
+    scanned once and hash-joined on the 6-bit bucket, so each query
+    reads ~7/64ths of the corpus.  Buckets partition the corpus, so
+    the probe sets are disjoint and no candidate dedup is needed.
+    Further recall knobs multiply only the broadcast side the same
+    way: distance-2 probes or repeated sketches.
+
+    Recall calibration (tests/test_ops_similarity.py measures both):
+    a truth neighbor at cosine c survives bucketing with probability
+    P(Hamming ≤ 1) = p⁶ + 6p⁵(1−p) where p = 1 − arccos(c)/π.  On
+    clustered embeddings (neighbors at c ≈ 0.95, the real-corpus
+    regime) that is ~0.88, and distance-2 probes reach ~0.98.  The
+    synthetic sf* embeddings are near-isotropic (true top-3 cosines
+    ~0.3–0.45), so NO sublinear-probe scheme can reach high absolute
+    recall there — the fixture bar is therefore agreement with the
+    analytic expectation (~0.26 at H≤1, 7× the single-probe ~0.04),
+    not an absolute threshold.
     """
     bucket = sum(
         (F.element_at("v", c) >= 0).cast("int") * (1 << (LSH_BIT_HI - 1 - c))
         for c in range(LSH_BIT_LO, LSH_BIT_HI)
     )
     vecs = _vecs(spark, sf_dir).withColumn("bucket", bucket)
-    q = vecs.filter(
-        (F.col("vec_id") >= LSH_QUERY_LO) & (F.col("vec_id") < LSH_QUERY_HI)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("bucket").alias("qbucket"),
+    q = (
+        vecs.filter(
+            (F.col("vec_id") >= LSH_QUERY_LO) & (F.col("vec_id") < LSH_QUERY_HI)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                        for b in range(LSH_N_BITS)
+                    ],
+                )
+            ).alias("qbucket"),
+        )
     )
     probe = vecs.join(
         F.broadcast(q), F.col("bucket") == F.col("qbucket")
@@ -273,7 +301,8 @@ WITH vecs AS (
   FROM embeddings
 ),
 q AS (
-  SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+  SELECT vec_id AS query_id, v AS qv,
+         unnest([bucket] || [xor(bucket, 1 << b) FOR b IN generate_series(0, {LSH_N_BITS - 1})]) AS qbucket
   FROM vecs WHERE vec_id >= {LSH_QUERY_LO} AND vec_id < {LSH_QUERY_HI}
 ),
 scored AS (

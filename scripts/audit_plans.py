@@ -99,12 +99,14 @@ def main() -> None:
         url_host_filter,
     )
 
-    # blocklist suffix semantics rewritten as a broadcast equi-join —
-    # never a per-rule LIKE scan / nested loop
+    # blocklist suffix semantics rewritten as TWO broadcast equi-joins
+    # (PSL candidate-suffix rules, then the blocklist) — never a
+    # per-rule LIKE scan / nested loop, never a shuffled join
     p = plan_of(url_host_filter(spark, "/root/testdata/sf0.001"))
     checks.append(
-        ("hostfilter-broadcast-equijoin",
-         "BroadcastHashJoin" in p and "NestedLoop" not in p)
+        ("hostfilter-psl-broadcast-equijoins",
+         p.count("BroadcastHashJoin") >= 2
+         and "NestedLoop" not in p and "SortMergeJoin" not in p)
     )
 
     # both join sides reduced to (md5, id) before any join; joins are
