@@ -627,7 +627,9 @@ WHERE {_R4COS_AB} >= {COSINE_DUP_THRESHOLD}
 
 # -- connected-components dedup clustering ----------------------------------
 
-def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster(
+    spark: SparkSession, sf_dir: str, _stats: dict | None = None
+) -> DataFrame:
     """Connected components over the n-gram-Jaccard near-dup pairs:
     every document in a pair gets the component id = the smallest
     doc_id transitively reachable, plus the component size — the
@@ -643,6 +645,13 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing document-sized is ever shuffled.  The loop is driver-side
     control flow over DataFrame ops (the one legitimately iterative
     operator in the suite); the fixpoint test is an empty-diff check.
+
+    Probe thinning: the empty-diff check is itself a Spark job, so it
+    runs only on even rounds from round 2 on — pointer jumping cannot
+    converge before a jump has happened, and skipping a probe costs at
+    most one extra (cheap, edge-sized) iteration while halving the
+    fixpoint jobs.  The 20-round ceiling alone guarantees termination.
+    ``_stats`` (tests only) receives {"rounds", "probes"}.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -655,7 +664,9 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("id"))
         .persist()
     )
-    for _ in range(20):  # ceil(log2) bound for any plausible diameter
+    rounds = probes = 0
+    for rnd in range(20):  # ceil(log2) bound for any plausible diameter
+        rounds = rnd + 1
         neighbor_min = (
             edges.join(labels, edges["v"] == labels["id"])
             .select(edges["u"].alias("id"), "label")
@@ -684,17 +695,22 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-        changed = (
-            jumped.alias("a")
-            .join(labels.alias("b"), F.col("a.id") == F.col("b.id"))
-            .filter(F.col("a.label") != F.col("b.label"))
-            .limit(1)
-            .count()
-        )
+        changed = None
+        if rnd >= 2 and rnd % 2 == 0:
+            probes += 1
+            changed = (
+                jumped.alias("a")
+                .join(labels.alias("b"), F.col("a.id") == F.col("b.id"))
+                .filter(F.col("a.label") != F.col("b.label"))
+                .limit(1)
+                .count()
+            )
         labels.unpersist()
         labels = jumped
         if changed == 0:
             break
+    if _stats is not None:
+        _stats.update(rounds=rounds, probes=probes)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("csize"))
     out = (
         labels.join(sizes, "label")
