@@ -1736,3 +1736,244 @@ def test_prev_chain_two_table_loop_we_terminate():
     out = api.pdf_to_text(data)
     assert time.time() - t0 < 5.0
     assert "alive" in out
+
+
+# -- encrypted-shaped PDFs ----------------------------------------------------
+#
+# The reference has NO /Encrypt handling (no occurrence anywhere in
+# src/): an encrypted PDF walks the normal xref/object path and its
+# content streams are decoded/interpreted as opaque bytes.  We mirror
+# that exactly, so the gate is byte-identity over documents carrying
+# an /Encrypt trailer entry with (a) plaintext streams ("encrypted"
+# flag but readable bodies — common for mislabeled files), (b) garbage
+# bytes behind /FlateDecode (decode error path), (c) raw garbage fed
+# straight to the content interpreter (totality of operand skipping).
+#
+# Raw garbage is stripped of ']' and '>' — a stray one at top level
+# hangs the REFERENCE forever (content/parser.rs:295: parse_operand
+# returns None without advancing pos); test_reference_hangs_on_stray_
+# close_bracket pins that divergence (we terminate).
+
+_ENCRYPT_DICTS = [
+    b"<< /Filter /Standard /V 1 /R 2 /O (0123456789abcdef0123456789abcdef)"
+    b" /U (0123456789abcdef0123456789abcdef) /P -44 >>",
+    b"<< /Filter /Standard /V 2 /R 3 /Length 128 /O <41424344> /U <45464748>"
+    b" /P -3904 >>",
+    b"<< /Filter /Standard /V 4 /R 4 /CF << /StdCF << /CFM /AESV2 >> >>"
+    b" /StmF /StdCF /StrF /StdCF >>",
+    b"<< /V 1 >>",  # degenerate: missing everything
+]
+
+
+def _garbage(rng: random.Random, n: int, raw_safe: bool) -> bytes:
+    data = bytes(rng.randrange(256) for _ in range(n))
+    if raw_safe:
+        # drop the two bytes whose top-level occurrence hangs the
+        # reference's content parser (see module comment above)
+        data = data.replace(b"]", b"").replace(b">", b"")
+    return data
+
+
+def gen_encrypted_pdf(rng: random.Random) -> bytes:
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    mode = rng.random()
+    if mode < 0.35:
+        # plaintext body despite the encryption dict
+        b.add_stream(4, b"", _content_stream(rng, [b"F1"]))
+    elif mode < 0.60:
+        # "encrypted" bytes behind Flate: decode-error path
+        b.add_stream(4, b"", _garbage(rng, rng.randint(20, 120), False),
+                     b"/FlateDecode")
+    elif mode < 0.85:
+        # raw "encrypted" bytes straight into the interpreter
+        b.add_stream(4, b"", _garbage(rng, rng.randint(20, 120), True))
+    else:
+        # hex-wrapped garbage: decodes fine, interprets as noise
+        g = _garbage(rng, rng.randint(20, 80), True)
+        b.add_stream(4, b"", g.hex().upper().encode() + b">",
+                     b"/ASCIIHexDecode")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica%s >>"
+          % rng.choice(ENCODINGS))
+    enc = rng.choice(_ENCRYPT_DICTS)
+    if rng.random() < 0.5:
+        b.add(9, enc)
+        entry = b"/Encrypt 9 0 R"
+    else:
+        entry = b"/Encrypt " + enc
+    data = b.build()
+    return data.replace(b"trailer\n<<", b"trailer\n<< " + entry, 1)
+
+
+def test_fuzz_encrypted_byte_identity(ref_bin):
+    rng = random.Random(SEED + 2)
+    for doc_i in range(60):
+        data = gen_encrypted_pdf(rng)
+        diffs = _run_diff(ref_bin, data, f"enc-{doc_i}")
+        if diffs:
+            sys.stderr.write(f"repro: seed={SEED + 2} doc={doc_i}\n")
+            sys.stderr.write(data.hex()[:4000] + "\n")
+        assert not diffs, diffs[:5]
+
+
+def test_reference_hangs_on_stray_close_bracket(ref_bin):
+    """Divergence pin: a stray top-level ']' in a content stream makes
+    the reference spin forever (content/parser.rs:295 returns None
+    without advancing); our interpreter skips it and terminates."""
+    import time
+
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R >>")
+    b.add_stream(4, b"", b"] BT (alive) Tj ET")
+    data = b.build()
+
+    t0 = time.time()
+    out = api.pdf_to_text(data)
+    assert time.time() - t0 < 5.0  # we terminate...
+    with tempfile.NamedTemporaryFile(suffix=".pdf", delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        import subprocess as sp
+        with pytest.raises(sp.TimeoutExpired):  # ...the reference does not
+            sp.run([ref_bin, path, "--txt"], capture_output=True, timeout=3)
+    finally:
+        os.unlink(path)
+
+
+# -- linearized-shaped PDFs ---------------------------------------------------
+#
+# Linearization (PDF 1.2 annex F) puts a parameter dict + a first-page
+# xref section at the FRONT of the file; the trailing startxref points
+# at that front table, whose trailer /Prev points at the main table
+# near the end.  Parsers must (1) ignore the linearization dict and
+# hint offsets entirely, (2) walk the Prev chain with newest-wins
+# object resolution — the fuzz plants DIFFERENT copies of the content
+# stream behind each table so any wrong-direction resolution changes
+# the extracted bytes.
+
+
+def _xref_section(subsections: list[tuple[int, list[int | None]]],
+                  trailer: bytes) -> bytes:
+    """Classic xref table: [(start, [offset|None free, ...]), ...]."""
+    out = b"xref\n"
+    for start, offs in subsections:
+        out += b"%d %d\n" % (start, len(offs))
+        for off in offs:
+            if off is None:
+                out += b"0000000000 65535 f \n"
+            else:
+                out += b"%010d 00000 n \n" % off
+    return out + b"trailer\n" + trailer + b"\n"
+
+
+def gen_linearized_pdf(rng: random.Random) -> bytes:
+    content_a = _content_stream(rng, [b"F1"])
+    content_b = _content_stream(rng, [b"F1"])
+
+    def stream_obj(num: int, payload: bytes, compress: bool) -> bytes:
+        if compress:
+            data = zlib.compress(payload)
+            return (b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\n"
+                    b"stream\n" % (num, len(data)) + data
+                    + b"\nendstream\nendobj\n")
+        return (b"%d 0 obj\n<< /Length %d >>\nstream\n" % (num, len(payload))
+                + payload + b"\nendstream\nendobj\n")
+
+    comp = rng.random() < 0.5
+    out = bytearray(b"%PDF-1.4\n")
+
+    # linearization parameter dict (values sometimes deliberately
+    # bogus — conforming readers may use them only as hints)
+    lin_vals = (rng.randint(0, 9999), rng.randint(0, 9999),
+                rng.randint(0, 9999), rng.randint(0, 9999))
+    out += (b"7 0 obj\n<< /Linearized 1 /L %d /H [%d %d] /O 3 /E %d /N 1 "
+            b"/T %d >>\nendobj\n" % ((len(out),) + lin_vals))
+
+    # stale copy of the content stream (main xref will point here)
+    off_4a = len(out)
+    out += stream_obj(4, content_a, comp)
+
+    # front xref: covers object 4 with the AUTHORITATIVE copy (4b,
+    # offset known only later — patch a fixed-width placeholder)
+    front_xref_off = len(out)
+    placeholder = 0
+    front_sections = [(4, [placeholder])]
+    if rng.random() < 0.5:
+        front_sections.insert(0, (0, [None]))  # free-list subsection
+    front_trailer_fmt = (b"<< /Size 10 /Root 1 0 R /Prev %010d >>")
+    front = _xref_section(front_sections, front_trailer_fmt % 0)
+    out += front
+    if rng.random() < 0.5:
+        out += b"startxref\n0\n%%EOF\n"  # annex-F front mini-trailer
+
+    # body
+    offs = {}
+    offs[1] = len(out)
+    out += b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    offs[2] = len(out)
+    out += b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    offs[3] = len(out)
+    out += (b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\n"
+            b"endobj\n")
+    offs[5] = len(out)
+    out += (b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica%s"
+            b" >>\nendobj\n" % rng.choice(ENCODINGS))
+    off_4b = len(out)
+    out += stream_obj(4, content_b, comp)
+
+    # main xref: full table, object 4 -> the STALE copy
+    main_xref_off = len(out)
+    # object 7 (lin dict) listed in the main table half the time; its
+    # true offset is 9 (right after the header) and nothing references
+    # it, so either way the resolver must not care
+    obj7 = 9 if rng.random() < 0.5 else None
+    main_sections = [(0, [None, offs[1], offs[2], offs[3], off_4a, offs[5],
+                          None, obj7])]
+    out += _xref_section(main_sections, b"<< /Size 10 /Root 1 0 R >>")
+    out += b"startxref\n%d\n%%%%EOF\n" % front_xref_off
+
+    # patch the front trailer's /Prev with the real main-table offset
+    final = bytes(out).replace(front_trailer_fmt % 0,
+                               front_trailer_fmt % main_xref_off, 1)
+    assert len(final) == len(out)
+    return final
+
+
+def test_fuzz_linearized_byte_identity(ref_bin):
+    rng = random.Random(SEED + 3)
+    for doc_i in range(60):
+        data = gen_linearized_pdf(rng)
+        diffs = _run_diff(ref_bin, data, f"lin-{doc_i}")
+        if diffs:
+            sys.stderr.write(f"repro: seed={SEED + 3} doc={doc_i}\n")
+            sys.stderr.write(data.hex()[:4000] + "\n")
+        assert not diffs, diffs[:5]
+
+
+def test_linearized_front_table_wins():
+    """Deterministic pin of newest-wins across the linearized Prev
+    chain: the front table's copy of the content stream (B) is the one
+    extracted, not the main table's stale copy (A)."""
+    rng = random.Random(99)
+    data = gen_linearized_pdf(rng)
+    # rebuild the two content payloads the same way the generator did
+    rng2 = random.Random(99)
+    content_a = _content_stream(rng2, [b"F1"])
+    content_b = _content_stream(rng2, [b"F1"])
+    assert content_a != content_b
+    out = api.pdf_to_text(data)
+    # cheap containment signal: a literal word that appears only in B
+    import re as _re
+    words_b = set(_re.findall(r"[A-Za-z0-9:.\-_]{3,}", content_b.decode("latin1")))
+    words_a = set(_re.findall(r"[A-Za-z0-9:.\-_]{3,}", content_a.decode("latin1")))
+    only_b = {w for w in words_b - words_a if w in out}
+    only_a = {w for w in words_a - words_b if w in out}
+    assert not only_a, only_a
