@@ -112,6 +112,8 @@ BENCH_OPS = [
     "gopher_quality_filter",
     "c4_line_filter",
     "bloom_incremental_dedup",
+    "crawl_delta",
+    "anchor_text_stats",
 ]
 
 

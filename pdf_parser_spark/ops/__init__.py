@@ -35,6 +35,7 @@ def all_queries():
         sketches,
         splits,
         pipeline,
+        recrawl,
         similarity,
         substring,
         temporal,
@@ -43,10 +44,14 @@ def all_queries():
     )
 
     # Module order is load-bearing: the driver's CORRECTNESS pass
-    # evaluates only the first 50 registry entries, so the 14 round-3
-    # operators (containment .. bloom) that never entered round 3's
-    # window come FIRST this round; the 30 entries that fall past the
-    # window now all hold green rows from CORRECTNESS_r03.json.
+    # evaluates only the first 50 registry entries.  The round-3 ops
+    # (containment .. bloom) that never entered round 3's window come
+    # first, then the modules CHANGED or ADDED in round 4 (filtering's
+    # url_host_filter gained PSL semantics; recrawl is new; dedup's
+    # dedup_cluster, similarity's ann_lsh_topk, and multimodal's
+    # decode changed) — the window covers exactly through curation
+    # (entry 50); everything past it is unchanged and holds green rows
+    # from CORRECTNESS_r03.json.
     out = {}
     for mod in (
         containment,
@@ -58,6 +63,8 @@ def all_queries():
         splits,
         heuristics,
         bloom,
+        filtering,
+        recrawl,
         dedup,
         similarity,
         textstats,
@@ -65,7 +72,6 @@ def all_queries():
         pipeline,
         curation,
         webcorpus,
-        filtering,
         temporal,
         corpusstats,
         clustering,

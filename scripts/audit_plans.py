@@ -335,6 +335,27 @@ def main() -> None:
          and "rangepartitioning" not in p)
     )
 
+    # 4y. crawl_delta: one full-outer hash/merge join over per-url
+    # aggregates; partial aggregation below the exchange (only one
+    # (url_key, rep, sig) row per url per batch is shuffled)
+    from pdf_parser_spark.ops.recrawl import anchor_text_stats, crawl_delta
+
+    p = plan_of(crawl_delta(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("crawldelta-partial-agg-narrow-join",
+         "partial_min" in p and "ArrowEvalPython" not in p
+         and "CartesianProduct" not in p and "NestedLoop" not in p)
+    )
+
+    # 4z. anchor_text_stats: host-grained aggregates with map-side
+    # partials, window top-1 over O(hosts x vocab), no Python
+    p = plan_of(anchor_text_stats(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("anchorstats-host-grained",
+         "partial_count" in p and "ArrowEvalPython" not in p
+         and "CartesianProduct" not in p and "NestedLoop" not in p)
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (
