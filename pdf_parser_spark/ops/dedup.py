@@ -646,12 +646,18 @@ def dedup_cluster(
     control flow over DataFrame ops (the one legitimately iterative
     operator in the suite); the fixpoint test is an empty-diff check.
 
-    Probe thinning: the empty-diff check is itself a Spark job, so it
-    runs only on even rounds from round 2 on — pointer jumping cannot
-    converge before a jump has happened, and skipping a probe costs at
-    most one extra (cheap, edge-sized) iteration while halving the
-    fixpoint jobs.  The 20-round ceiling alone guarantees termination.
-    ``_stats`` (tests only) receives {"rounds", "probes"}.
+    The fixpoint probe runs EVERY round on purpose — it is the
+    round's materializer, not just a convergence check.  Thinning it
+    to every 2nd round was tried (round 4) and measured 3.6× SLOWER at
+    sf0.1: without an action, the round's persisted relations stay
+    unfilled, and the jump self-join's two scans of the same
+    unmaterialized InMemoryRelation execute CONCURRENTLY in the next
+    materializing job — concurrent first-computation is not deduped
+    (each task races to fill the cache block), so probe-less rounds
+    compound ~2× duplicated work per level of nesting.  One cheap
+    edge-sized job per round is the price of keeping every round
+    computed exactly once.  ``_stats`` (tests only) receives
+    {"rounds", "probes"}.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -695,16 +701,16 @@ def dedup_cluster(
             )
             .persist()
         )
-        changed = None
-        if rnd >= 2 and rnd % 2 == 0:
-            probes += 1
-            changed = (
-                jumped.alias("a")
-                .join(labels.alias("b"), F.col("a.id") == F.col("b.id"))
-                .filter(F.col("a.label") != F.col("b.label"))
-                .limit(1)
-                .count()
-            )
+        # probe = materialize + converge-check in one edge-sized job
+        # (see docstring: every round, on purpose)
+        probes += 1
+        changed = (
+            jumped.alias("a")
+            .join(labels.alias("b"), F.col("a.id") == F.col("b.id"))
+            .filter(F.col("a.label") != F.col("b.label"))
+            .limit(1)
+            .count()
+        )
         labels.unpersist()
         labels = jumped
         if changed == 0:
