@@ -114,6 +114,7 @@ BENCH_OPS = [
     "bloom_incremental_dedup",
     "crawl_delta",
     "anchor_text_stats",
+    "ccnet_lm_filter",
 ]
 
 

@@ -31,9 +31,15 @@ exchange anywhere is whatever the caller does with the verdicts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from pdf_parser_spark.ops.common import load_table, tokens, tokens_sql
+from pdf_parser_spark.ops.common import (
+    h32,
+    h32_sql,
+    load_table,
+    tokens,
+    tokens_sql,
+)
 from pdf_parser_spark.ops.webcorpus import LINE_WIDTH
 
 # -- Gopher App. A1 thresholds (document level) ------------------------------
@@ -228,7 +234,176 @@ FROM kept
 """
 
 
+# -- CCNet-style LM quality banding -------------------------------------------
+#
+# CCNet (Wenzek et al. 2020, arXiv:1911.00359 — public) buckets crawl
+# documents into head/middle/tail by language-model perplexity and
+# trains on the low-perplexity bands.  The KenLM scorer is replaced by
+# an engine-exact unigram surprisal: token → hashed frequency bucket,
+# per-token surprisal = 63000 − log2(bucket count) millibits (rarer ⇒
+# more bits), per-document mean in millibits.  log2 is computed
+# EXACTLY in integers: e = floor(log2(cnt)) from the binary-digit
+# count (Spark conv(_,10,2) length, DuckDB printf('%b') length — float
+# log2 misrounds near powers of two, which would flake the value-hash
+# gate), plus the standard linear interpolation between powers of two
+# for the fractional part, (cnt − 2^e)·1000 // 2^e — whole-bucket
+# log2 alone has no discrimination on a near-flat token distribution
+# (every bucket lands in one digit class).
+#
+# Scale (the dsir_select pattern): the bucket table is ≤ LM_BUCKETS
+# rows regardless of corpus size — the token stream partial-aggregates
+# map-side to ≤LM_BUCKETS rows per task before the one tiny exchange,
+# the counts broadcast back onto the stream, and the per-doc rollup
+# partial-sums (doc_id, bits) map-side.  The corpus-sized relation is
+# never shuffled.
+
+LM_BUCKETS = 4096
+LM_SCALE = 1000
+LM_HEAD_PCT, LM_MIDDLE_PCT = 33, 66  # CCNet-style corpus-percentile cuts
+
+
+def ccnet_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: token count, total/mean unigram surprisal
+    (integer millibits), CCNet band (head / middle / tail), and the
+    keep verdict (tail dropped).  Documents with no tokens are not
+    admitted to scoring (same convention as c4_line_filter).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", (h32(F.col("tok")) % LM_BUCKETS).alias("bucket"))
+    bcnts = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    # exact integer log2 in millibits: e from the binary digit count,
+    # fractional part linearly interpolated between 2^e and 2^(e+1)
+    e = (F.length(F.conv(F.col("cnt"), 10, 2)) - 1).cast("long")
+    bcnts = bcnts.withColumn("e", e).select(
+        "bucket",
+        (
+            (F.lit(63) - F.col("e")) * LM_SCALE
+            - F.expr(
+                f"(cnt - shiftleft(1L, cast(e as int))) * {LM_SCALE}"
+                " div shiftleft(1L, cast(e as int))"
+            )
+        ).alias("mbits"),
+    )
+    scored = toks.join(F.broadcast(bcnts), "bucket").select(
+        "doc_id", F.col("mbits").alias("bits")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("bits").alias("total_mbits"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    # integer division (`div`), not float-divide-then-floor: the
+    # quotient of two BIGINTs through a double can misround just below
+    # an integer, flaking the value-hash gate
+    banded = agg.withColumn(
+        "mean_mbits", F.expr("total_mbits div n_tokens")
+    )
+    # CCNet cuts are CORPUS PERCENTILES, not fixed thresholds (the
+    # surprisal level shifts with corpus size as bucket counts grow).
+    # Exact and bounded: mean_mbits has < 63·LM_SCALE distinct values,
+    # so a frequency rollup + cumulative window computes the exact
+    # cut values over a tiny relation regardless of corpus size.  The
+    # cut is the smallest value whose cumulative count reaches the
+    # percentile (ties land in the lower band on both engines).
+    freq = banded.groupBy("mean_mbits").agg(F.count(F.lit(1)).alias("f"))
+    wcum = (
+        Window.orderBy("mean_mbits")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = freq.select(
+        "mean_mbits",
+        F.sum("f").over(wcum).alias("cum"),
+        F.sum("f").over(wtot).alias("total"),
+    )
+    cuts = cum.agg(
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.lit(LM_HEAD_PCT) * F.col("total"),
+                F.col("mean_mbits"),
+            )
+        ).alias("head_cut"),
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.lit(LM_MIDDLE_PCT) * F.col("total"),
+                F.col("mean_mbits"),
+            )
+        ).alias("middle_cut"),
+    )
+    band = (
+        F.when(F.col("mean_mbits") <= F.col("head_cut"), F.lit("head"))
+        .when(F.col("mean_mbits") <= F.col("middle_cut"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        banded.crossJoin(F.broadcast(cuts))
+        .withColumn("band", band)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "total_mbits",
+            "mean_mbits",
+            "band",
+            (F.col("band") != "tail").alias("kept"),
+        )
+    )
+
+
+CCNET_LM_FILTER_SQL = f"""
+WITH b AS (
+  SELECT doc_id, {h32_sql('tok')} % {LM_BUCKETS} AS bucket
+  FROM (SELECT doc_id, unnest({tokens_sql("text")}) AS tok FROM documents)
+),
+bc AS (
+  SELECT bucket,
+         (63 - e) * {LM_SCALE} - ((cnt - (1::BIGINT << e)) * {LM_SCALE}) // (1::BIGINT << e)
+         AS mbits
+  FROM (
+    SELECT bucket, cnt, length(printf('%b', cnt)) - 1 AS e
+    FROM (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket)
+  )
+),
+agg AS (
+  SELECT doc_id, sum(bc.mbits) AS total_mbits, count(*) AS n_tokens
+  FROM b JOIN bc USING (bucket)
+  GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, n_tokens, total_mbits,
+         total_mbits // n_tokens AS mean_mbits
+  FROM agg
+),
+freq AS (
+  SELECT mean_mbits, count(*) AS f FROM banded GROUP BY mean_mbits
+),
+cum AS (
+  SELECT mean_mbits,
+         sum(f) OVER (ORDER BY mean_mbits
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(f) OVER () AS total
+  FROM freq
+),
+cuts AS (
+  SELECT min(CASE WHEN cum * 100 >= {LM_HEAD_PCT} * total
+                  THEN mean_mbits END) AS head_cut,
+         min(CASE WHEN cum * 100 >= {LM_MIDDLE_PCT} * total
+                  THEN mean_mbits END) AS middle_cut
+  FROM cum
+)
+SELECT doc_id, n_tokens, total_mbits, mean_mbits,
+       CASE WHEN mean_mbits <= head_cut THEN 'head'
+            WHEN mean_mbits <= middle_cut THEN 'middle'
+            ELSE 'tail' END AS band,
+       mean_mbits <= middle_cut AS kept
+FROM banded, cuts
+"""
+
+
 QUERIES = {
     "gopher_quality_filter": (gopher_quality_filter, GOPHER_QUALITY_FILTER_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
+    "ccnet_lm_filter": (ccnet_lm_filter, CCNET_LM_FILTER_SQL),
 }

@@ -356,6 +356,19 @@ def main() -> None:
          and "CartesianProduct" not in p and "NestedLoop" not in p)
     )
 
+    # 4aa. ccnet_lm_filter: the bucket table broadcasts back onto the
+    # token stream (never a shuffled join of the corpus-sized side);
+    # one small shuffled join remains legitimate: per-doc aggregates
+    # against the 1-row percentile-cut relation
+    from pdf_parser_spark.ops.heuristics import ccnet_lm_filter
+
+    p = plan_of(ccnet_lm_filter(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("ccnet-broadcast-buckets",
+         "BroadcastHashJoin" in p and "ArrowEvalPython" not in p
+         and "CartesianProduct" not in p)
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (
