@@ -155,7 +155,13 @@ def pdf_extract(
 
 
 def _cli_extract(doc: Document, fmt: str, page: int | None) -> str:
-    n = doc.page_count()
+    # main.rs:86 `doc.page_count().unwrap_or(0)`: a failed page-tree
+    # walk means zero pages (empty output, success), not a document
+    # error — unlike the lib.rs entry points, which propagate it
+    try:
+        n = doc.page_count()
+    except PdfError:
+        n = 0
     if page is None:
         idxs = range(n)
     elif 1 <= page <= n:

@@ -1977,3 +1977,169 @@ def test_linearized_front_table_wins():
     only_b = {w for w in words_b - words_a if w in out}
     only_a = {w for w in words_a - words_b if w in out}
     assert not only_a, only_a
+
+
+# -- mutation differential fuzz ----------------------------------------------
+#
+# Bit-flip / byte-substitute real PDFs and demand the two engines STILL
+# agree byte-for-byte — on the output when both parse, and on the
+# error verdict when either rejects.  Mutations reach states the
+# constructive generators never produce (corrupted xref digits, broken
+# dict tokens, mid-stream damage).  The one tolerated asymmetry is a
+# reference HANG (it has known non-termination classes — stray
+# top-level ']'/'>' in content, Prev-chain cycles — where we terminate
+# by design); those are counted and skipped, and our engine is
+# asserted to return promptly on the same input.
+#
+# The comparison target is api.pdf_extract — the CLI twin — NOT the
+# lib.rs-twin functions in FN: the reference CLI SKIPS pages that fail
+# to extract (main.rs:145-147) and maps a failed page count to zero
+# pages (main.rs:86 unwrap_or), while the library propagates both.
+# Mutation fuzzing is what first exposed the difference (a corrupted
+# page-1 Flate stream in a 60-page document: the CLI emits the other
+# 59 pages, the library twin errors the document).
+
+
+def _mutate(rng: random.Random, base: bytes) -> bytes:
+    data = bytearray(base)
+    kind = rng.random()
+    if kind < 0.45:
+        for _ in range(rng.randint(1, 8)):
+            i = rng.randrange(len(data))
+            data[i] ^= 1 << rng.randrange(8)
+    elif kind < 0.80:
+        for _ in range(rng.randint(1, 4)):
+            i = rng.randrange(len(data))
+            data[i] = rng.randrange(256)
+    else:
+        # truncate somewhere in the tail half (keeps the header)
+        data = data[: rng.randrange(len(data) // 2, len(data))]
+    return bytes(data)
+
+
+def test_fuzz_mutated_byte_identity(ref_bin):
+    import subprocess as sp
+    import time
+
+    from fixtures.gen import PDF_CASES
+
+    rng = random.Random(SEED + 4)
+    bases = [fn() for fn in PDF_CASES.values()]
+    gen_rng = random.Random(SEED + 5)
+    bases += [gen_pdf(gen_rng) for _ in range(10)]
+
+    fmts = [("txt", FLAG["txt"]), ("csv", FLAG["csv"])]
+    diffs, ref_hangs = [], 0
+    for doc_i, base in enumerate(bases):
+        for mut_i in range(25):
+            data = _mutate(rng, base)
+            with tempfile.NamedTemporaryFile(suffix=".pdf", delete=False) as f:
+                f.write(data)
+                path = f.name
+            try:
+                for fmt, flag in fmts:
+                    try:
+                        r = sp.run([ref_bin, path, flag],
+                                   capture_output=True, timeout=5)
+                    except sp.TimeoutExpired:
+                        # known reference non-termination class: we
+                        # must still answer, fast
+                        ref_hangs += 1
+                        t0 = time.time()
+                        try:
+                            api.pdf_extract(data, fmt)
+                        except PdfError:
+                            pass
+                        assert time.time() - t0 < 5.0
+                        continue
+                    try:
+                        ours = api.pdf_extract(data, fmt) + "\n"
+                    except PdfError:
+                        ours = None
+                    if r.returncode != 0:
+                        if ours is not None:
+                            diffs.append((doc_i, mut_i, fmt,
+                                          "ref-failed-we-succeeded"))
+                        continue
+                    ref = r.stdout.decode("utf-8", "replace")
+                    if ours is None:
+                        ours = "\n"
+                    if ref != ours:
+                        diffs.append((doc_i, mut_i, fmt,
+                                      repr(ref[:60]), repr(ours[:60])))
+            finally:
+                os.unlink(path)
+            if diffs:
+                sys.stderr.write(
+                    f"repro: seed={SEED + 4} doc={doc_i} mut={mut_i}\n"
+                )
+                sys.stderr.write(data.hex()[:4000] + "\n")
+                break
+        if diffs:
+            break
+    assert not diffs, diffs[:5]
+    sys.stderr.write(f"[mutation fuzz] reference hangs skipped: {ref_hangs}\n")
+
+
+def test_cli_skips_failing_page_library_propagates(ref_bin):
+    """Deterministic pin of the CLI-vs-library split the mutation fuzz
+    exposed: a 3-page document whose MIDDLE page's Flate stream is
+    corrupted.  The CLI twin (pdf_extract) must emit pages 1 and 3
+    byte-identically to the binary — no separator for the dead page —
+    while the lib.rs twin (pdf_to_text) propagates the decode error."""
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [10 0 R 11 0 R 12 0 R] /Count 3 >>")
+    for i, (num, word) in enumerate([(10, b"alpha"), (11, b"beta"),
+                                     (12, b"gamma")]):
+        b.add(num, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+              b"/Contents %d 0 R >>" % (30 + i))
+        payload = zlib.compress(b"BT 72 700 Td (%s page) Tj ET" % word)
+        if num == 11:
+            payload = payload[:-4] + b"\x00\x00\x00\x00"  # break the adler
+        b.add_stream(30 + i, b"", payload, b"/FlateDecode")
+    data = b.build()
+
+    with pytest.raises(PdfError):
+        api.pdf_to_text(data)
+
+    ours = api.pdf_extract(data, "txt")
+    assert "alpha page" in ours and "gamma page" in ours
+    assert "beta" not in ours
+
+    with tempfile.NamedTemporaryFile(suffix=".pdf", delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        import subprocess as sp
+
+        r = sp.run([ref_bin, path, "--txt"], capture_output=True, timeout=30)
+        assert r.returncode == 0
+        assert r.stdout.decode() == ours + "\n"
+    finally:
+        os.unlink(path)
+
+
+def test_cli_maps_failed_page_count_to_empty(ref_bin):
+    """main.rs:86 unwrap_or(0): parseable xref but unwalkable page
+    tree (/Root points at a missing object) → CLI prints empty and
+    exits 0; ours must match through pdf_extract."""
+    b = PdfBuilder()
+    # no object 1: the trailer's /Root dangles
+    b.add(2, b"<< /Type /Pages /Kids [] /Count 0 >>")
+    data = b.build()
+
+    ours = api.pdf_extract(data, "txt")
+    assert ours == ""
+
+    with tempfile.NamedTemporaryFile(suffix=".pdf", delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        import subprocess as sp
+
+        r = sp.run([ref_bin, path, "--txt"], capture_output=True, timeout=30)
+        assert (r.returncode == 0) == True
+        assert r.stdout.decode() == ours + "\n"
+    finally:
+        os.unlink(path)
