@@ -1,0 +1,164 @@
+"""Streaming recrawl monitor: per-url freshness verdicts with
+watermark-evicted state (`applyInPandasWithState` + EventTimeTimeout).
+
+The batch twin is :func:`pdf_parser_spark.ops.recrawl.crawl_delta`
+(two frozen crawls diffed per url).  This is the continuous version:
+as recrawled pages land, every arrival is classified against the
+url's LAST seen content signature — ``added`` (first sighting),
+``unchanged`` (same signature), ``changed`` (new signature) — and a
+url that is NOT re-crawled within the freshness TTL (in EVENT time,
+``warc_ts``) is evicted with a ``stale`` verdict, the streaming analog
+of the batch op's ``removed`` (a batch diff sees absence by comparing
+two complete crawls; a stream sees absence as elapsed crawl time).
+
+Design:
+
+* **Keyed state on the url** — one (last_md5,) tuple per url, O(1)
+  lookup/update per arrival.  State size is O(live urls); at 10^10
+  urls this wants the RocksDB state store, and the TTL bounds the
+  live set to urls crawled within one freshness window.
+* **Event-time timeouts, not processing-time** — staleness is a
+  property of the CRAWL timeline, so the timeout timestamp is
+  ``max(warc_ts) + ttl`` and fires when the watermark (driven by
+  later arrivals) passes it.  This also keeps the availableNow drain
+  terminating: processing-time timeouts hold the query open waiting
+  for wall-clock deadlines, event-time timeouts resolve from the
+  data.  The other stateful ops here carry NoTimeout state that grows
+  with the corpus; this op demonstrates the eviction half of the
+  state API.
+* **Idempotent sink** — per-batch ``batch_id=N`` partition overwrite
+  with the replay guard from :mod:`streaming.dedup` (a replayed batch
+  must still execute the stateful plan so state commits stay aligned
+  with the checkpoint).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from pdf_parser_spark.streaming.job import PAGES_STREAM_SCHEMA, _committed
+
+RECRAWL_STATE_SCHEMA = StructType(
+    [StructField("last_md5", StringType()), StructField("last_ts_ms", LongType())]
+)
+
+RECRAWL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("status", StringType()),
+        StructField("content_md5", StringType()),
+    ]
+)
+
+DEFAULT_TTL_MS = 24 * 3600 * 1000  # production freshness window: 1 day
+
+
+def _recrawl_group_fn(ttl_ms: int):
+    def fn(key, pdf_iter, state: GroupState):
+        (url,) = key
+        cols = ["url", "status", "content_md5"]
+        if state.hasTimedOut:
+            last, _last_ts = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"url": [url], "status": ["stale"], "content_md5": [last]},
+                columns=cols,
+            )
+            return
+        prev = state.get[0] if state.exists else None
+        statuses: list[str] = []
+        sigs: list[str] = []
+        max_ts_ms = state.get[1] if state.exists else 0
+        for pdf in pdf_iter:
+            ts_ms = (
+                pdf["warc_ts"].astype("int64") // 1_000_000
+            )  # ns -> ms epoch
+            for sig, ts in zip(pdf["content_md5"], ts_ms):
+                if prev is None:
+                    statuses.append("added")
+                elif sig == prev:
+                    statuses.append("unchanged")
+                else:
+                    statuses.append("changed")
+                prev = sig
+                sigs.append(sig)
+                if int(ts) > max_ts_ms:
+                    max_ts_ms = int(ts)
+        if not sigs:
+            return
+        state.update((prev, max_ts_ms))
+        # stale when the crawl timeline (watermark) passes last+TTL
+        state.setTimeoutTimestamp(max_ts_ms + ttl_ms)
+        yield pd.DataFrame(
+            {"url": [url] * len(sigs), "status": statuses,
+             "content_md5": sigs},
+            columns=cols,
+        )
+
+    return fn
+
+
+def stream_recrawl(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    schema: StructType = PAGES_STREAM_SCHEMA,
+    ttl_ms: int = DEFAULT_TTL_MS,
+    max_files_per_trigger: int | None = None,
+):
+    """Drain all unprocessed page files through the freshness monitor;
+    per-batch verdict rows land under
+    ``{output_path}/verdicts/batch_id=N``.  Blocks until drained."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(input_path)
+
+    verdicts = (
+        pages.select("url", "warc_ts", F.md5("html").alias("content_md5"))
+        .withWatermark("warc_ts", "0 seconds")
+        .groupBy("url")
+        .applyInPandasWithState(
+            _recrawl_group_fn(ttl_ms),
+            outputStructType=RECRAWL_OUTPUT_SCHEMA,
+            stateStructType=RECRAWL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out_dir = f"{output_path}/verdicts/batch_id={batch_id}"
+        if _committed(batch_df.sparkSession, out_dir):
+            # replay guard: the stateful plan must still execute so
+            # state commits stay aligned with the checkpoint (see
+            # streaming/dedup.py)
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    query = (
+        verdicts.writeStream.foreachBatch(process_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def freshness_report(spark: SparkSession, output_path: str) -> DataFrame:
+    """Latest verdict per url across all drained batches."""
+    rows = spark.read.parquet(f"{output_path}/verdicts")
+    w_latest = F.max(F.struct("batch_id", "status", "content_md5"))
+    return (
+        rows.groupBy("url")
+        .agg(w_latest.alias("v"))
+        .select("url", "v.status", "v.content_md5", "v.batch_id")
+    )
