@@ -367,13 +367,14 @@ bc AS (
   )
 ),
 agg AS (
-  SELECT doc_id, sum(bc.mbits) AS total_mbits, count(*) AS n_tokens
+  SELECT doc_id, CAST(sum(bc.mbits) AS BIGINT) AS total_mbits,
+         count(*) AS n_tokens
   FROM b JOIN bc USING (bucket)
   GROUP BY doc_id
 ),
 banded AS (
   SELECT doc_id, n_tokens, total_mbits,
-         total_mbits // n_tokens AS mean_mbits
+         CAST(total_mbits // n_tokens AS BIGINT) AS mean_mbits
   FROM agg
 ),
 freq AS (
