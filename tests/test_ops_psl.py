@@ -131,3 +131,58 @@ def test_spark_plan_broadcasts_rules(spark):
     plan = with_registered_domain(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -- property tests: three-way agreement on generated hosts -------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+# label pool mixing PSL rule labels (so matches happen), rule bases,
+# exception labels, and unrelated labels (so the implicit '*' fires)
+_LABELS = [
+    "com", "org", "uk", "co", "jp", "ac", "kawasaki", "city", "ck",
+    "www", "test", "example", "blog", "a", "b", "x1", "deep",
+]
+
+if _HAS_HYPOTHESIS:
+
+    @given(
+        st.lists(st.sampled_from(_LABELS), min_size=1, max_size=7).map(
+            ".".join
+        )
+    )
+    @settings(max_examples=500, deadline=None)
+    def test_duckdb_fragment_agrees_on_generated_hosts(host):
+        import duckdb
+
+        con = duckdb.connect()
+        q = (
+            f"WITH pages(doc_id, host) AS (VALUES (0, '{host}')),\n"
+            f"{psl_join_sql('pages')}\n"
+            "SELECT reg_domain FROM pages_psl"
+        )
+        (reg,) = con.execute(q).fetchone()
+        assert reg == registered_domain(host), host
+
+
+def test_spark_plan_agrees_on_generated_host_corpus(spark):
+    """One Spark round-trip over a 300-host pseudo-random corpus drawn
+    from the same label pool (per-example Spark jobs would be 100x
+    slower than the hypothesis loop above)."""
+    import random
+
+    rng = random.Random(20260819)
+    hosts = [
+        ".".join(rng.choices(_LABELS, k=rng.randint(1, 7)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(hosts)), "doc_id INT, host STRING"
+    )
+    for r in with_registered_domain(df).collect():
+        assert r.reg_domain == registered_domain(r.host), r.host
