@@ -115,6 +115,7 @@ BENCH_OPS = [
     "crawl_delta",
     "anchor_text_stats",
     "ccnet_lm_filter",
+    "text_entropy",
 ]
 
 

@@ -17,6 +17,8 @@ from pyspark.sql.pandas.functions import pandas_udf
 
 from pdf_parser_spark.ops.common import (
     h32,
+    log2_mbits,
+    log2_mbits_sql,
     roundn,
     roundn_sql,
     h32_sql,
@@ -394,6 +396,64 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# text_entropy — doc-internal token diversity (exact integer millibits)
+# ---------------------------------------------------------------------------
+
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy in exact integer millibits:
+    H = sum_t c_t * (L(n) - L(c_t)) // n, with L the interpolated
+    binary log (ops/common.py log2_mbits).  Low entropy flags
+    repetitive/boilerplate documents — the doc-INTERNAL diversity
+    signal, complementing text_repetition (top-n-gram fractions) and
+    ccnet_lm_filter (corpus-level surprisal).  Documents with no
+    tokens are not scored (the c4_line_filter convention).
+
+    Scale: explode -> (doc_id, token) partial-combined count ->
+    (doc_id) partial-combined rollup.  Both aggregates are map-side
+    combining; the only shuffled relations carry (doc_id, token hash,
+    count)-sized rows, never text.  H is exact BIGINT arithmetic
+    (n*L(n) <= tokens_per_doc * 63000, far from overflow).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("cnt") * log2_mbits("cnt")).alias("_sum_clc"),
+    )
+    h = F.expr("(n_tokens * Ln - _sum_clc) div n_tokens")
+    return (
+        per_doc.withColumn("Ln", log2_mbits("n_tokens"))
+        .withColumn("entropy_mbits", h)
+        .select("doc_id", "n_tokens", "n_distinct", "entropy_mbits")
+    )
+
+
+TEXT_ENTROPY_SQL = f"""
+WITH counts AS (
+  SELECT doc_id, tok, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({tokens_sql("text")}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct,
+         CAST(sum(cnt * {log2_mbits_sql('cnt')}) AS BIGINT) AS sum_clc
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST((n_tokens * {log2_mbits_sql('n_tokens')} - sum_clc) // n_tokens
+            AS BIGINT) AS entropy_mbits
+FROM per_doc
+"""
+
+
 QUERIES = {
     "text_token_stats": (text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_bpe_tokens": (text_bpe_tokens, TEXT_BPE_TOKENS_SQL),
@@ -401,4 +461,5 @@ QUERIES = {
     "text_lang_id": (text_lang_id, _lang_id_sql()),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "text_repetition": (text_repetition, _repetition_sql()),
+    "text_entropy": (text_entropy, TEXT_ENTROPY_SQL),
 }
