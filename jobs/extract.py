@@ -113,7 +113,16 @@ def main() -> None:
     lin = [r.asDict() for r in lineage(extracted).collect()]
     record = out.append(extracted, lineage_rows=lin)
     n = sum(row["row_count"] for row in lin)
-    snap_id = record["id"] if isinstance(record, dict) else "iceberg"
+    if isinstance(record, dict):
+        snap_id = record["id"]
+    else:
+        # backend didn't report a snapshot id: derive a per-run unique
+        # token anyway — a constant here would make every WET-exporting
+        # run reuse the same run_token, so the second --resume run into
+        # the same --wet-output dir would collide at <token>-part-00000
+        import uuid
+
+        snap_id = f"run-{uuid.uuid4().hex[:12]}"
     print(f"committed snapshot {snap_id}: {n} docs, {len(lin)} lineage partitions")
     if args.compact:
         crec = out.compact()

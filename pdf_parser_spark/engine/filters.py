@@ -153,6 +153,12 @@ def ascii85_decode(data: bytes) -> bytes:
         v = 0
         for g in group + [84] * (5 - k):  # pad with 'u'
             v = v * 85 + g
+        if v > 0xFFFFFFFF:
+            # e.g. a trailing "uu": padded value exceeds 2^32-1 — must
+            # be a ParseError (-> decode_error row), matching the
+            # full-group path; an unchecked to_bytes would raise
+            # OverflowError and kill the Spark task instead
+            raise ParseError(i, "ASCII85Decode: trailing group overflow")
         out += v.to_bytes(4, "big")[: k - 1]
     return bytes(out)
 

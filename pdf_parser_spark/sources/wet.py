@@ -119,6 +119,14 @@ def write_wet_files(
         # records are deterministic and partition-sorted)
         tmp = f"{path}.inprogress-{ctx.taskAttemptId()}"
         fh = None
+        # if the target already exists, a prior attempt of THIS task
+        # published it after os.replace but before task commit (records
+        # are deterministic and partition-sorted, so the bytes are
+        # identical) — treat it as already published: skip the write
+        # but still count records so the lineage row is emitted, which
+        # keeps task retries idempotent instead of permanently failing
+        # the job on a single executor loss at the wrong moment
+        published = os.path.exists(path)
         n = n_bytes = 0
         try:
             for pdf in batches:
@@ -130,22 +138,19 @@ def write_wet_files(
                         str(url), int(ts_us),
                         text if isinstance(text, str) else None,
                     )
-                    if fh is None:  # lazily: empty partitions emit nothing
-                        if os.path.exists(path):
-                            raise FileExistsError(
-                                f"WET target {path} already exists; pass a "
-                                "fresh run_token (or output_dir) instead of "
-                                "overwriting a previous export"
-                            )
+                    if fh is None and not published:
+                        # lazily: empty partitions emit nothing
                         fh = open(tmp, "wb")
-                    fh.write(_gzip_member(rec) if compress else rec)
+                    if fh is not None:
+                        fh.write(_gzip_member(rec) if compress else rec)
                     n += 1
                     n_bytes += len(rec)
         finally:
             if fh is not None:
                 fh.close()
         if n:
-            os.replace(tmp, path)
+            if not published:
+                os.replace(tmp, path)
             yield pd.DataFrame(
                 {"file": [os.path.basename(path)], "n_records": [n],
                  "n_bytes": [n_bytes]}

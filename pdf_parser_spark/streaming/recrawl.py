@@ -51,6 +51,13 @@ RECRAWL_OUTPUT_SCHEMA = StructType(
         StructField("url", StringType()),
         StructField("status", StringType()),
         StructField("content_md5", StringType()),
+        # within-batch arrival index: the verdict chain is defined by
+        # arrival order (each arrival classifies against the previous
+        # one), so "latest verdict" must be max by (batch_id, seq) —
+        # max by status string would pick lexicographic winners
+        # ("unchanged" > "changed") when one batch carries several
+        # recrawls of the same url
+        StructField("seq", LongType()),
     ]
 )
 
@@ -60,12 +67,13 @@ DEFAULT_TTL_MS = 24 * 3600 * 1000  # production freshness window: 1 day
 def _recrawl_group_fn(ttl_ms: int):
     def fn(key, pdf_iter, state: GroupState):
         (url,) = key
-        cols = ["url", "status", "content_md5"]
+        cols = ["url", "status", "content_md5", "seq"]
         if state.hasTimedOut:
             last, _last_ts = state.get
             state.remove()
             yield pd.DataFrame(
-                {"url": [url], "status": ["stale"], "content_md5": [last]},
+                {"url": [url], "status": ["stale"], "content_md5": [last],
+                 "seq": [0]},
                 columns=cols,
             )
             return
@@ -73,29 +81,39 @@ def _recrawl_group_fn(ttl_ms: int):
         statuses: list[str] = []
         sigs: list[str] = []
         max_ts_ms = state.get[1] if state.exists else 0
-        for pdf in pdf_iter:
-            ts_ms = (
-                pdf["warc_ts"].astype("int64") // 1_000_000
-            )  # ns -> ms epoch
-            for sig, ts in zip(pdf["content_md5"], ts_ms):
-                if prev is None:
-                    statuses.append("added")
-                elif sig == prev:
-                    statuses.append("unchanged")
-                else:
-                    statuses.append("changed")
-                prev = sig
-                sigs.append(sig)
-                if int(ts) > max_ts_ms:
-                    max_ts_ms = int(ts)
-        if not sigs:
+        # One url's rows within a micro-batch arrive in shuffle order;
+        # the verdict chain must follow the CRAWL timeline, so sort by
+        # event time (stable, so equal-ts rows keep arrival order).
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(batch) == 0:
             return
+        batch = batch.sort_values("warc_ts", kind="stable")
+        ts_ms = batch["warc_ts"].astype("int64") // 1_000_000  # ns -> ms
+        for sig, ts in zip(batch["content_md5"], ts_ms):
+            if prev is None:
+                statuses.append("added")
+            elif sig == prev:
+                statuses.append("unchanged")
+            else:
+                statuses.append("changed")
+            prev = sig
+            sigs.append(sig)
+            if int(ts) > max_ts_ms:
+                max_ts_ms = int(ts)
         state.update((prev, max_ts_ms))
-        # stale when the crawl timeline (watermark) passes last+TTL
-        state.setTimeoutTimestamp(max_ts_ms + ttl_ms)
+        # stale when the crawl timeline (watermark) passes last+TTL.
+        # Clamped to watermark+1: a url whose arrivals in this batch
+        # are already older than watermark-TTL (late-landing files)
+        # would otherwise make setTimeoutTimestamp throw ("timeout
+        # timestamp cannot be earlier than watermark") and kill the
+        # whole streaming query — such a url is due immediately, so
+        # the earliest legal timer is the right one.
+        state.setTimeoutTimestamp(
+            max(max_ts_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
         yield pd.DataFrame(
             {"url": [url] * len(sigs), "status": statuses,
-             "content_md5": sigs},
+             "content_md5": sigs, "seq": list(range(len(sigs)))},
             columns=cols,
         )
 
@@ -154,9 +172,15 @@ def stream_recrawl(
 
 
 def freshness_report(spark: SparkSession, output_path: str) -> DataFrame:
-    """Latest verdict per url across all drained batches."""
+    """Latest verdict per url across all drained batches.
+
+    Latest = max by (batch_id, seq): seq is the within-batch arrival
+    index emitted by the group fn, so the struct max follows the
+    verdict chain itself rather than comparing status strings (which
+    would report "unchanged" over "changed" whenever one micro-batch
+    carries several recrawls of a url, 'u' > 'c')."""
     rows = spark.read.parquet(f"{output_path}/verdicts")
-    w_latest = F.max(F.struct("batch_id", "status", "content_md5"))
+    w_latest = F.max(F.struct("batch_id", "seq", "status", "content_md5"))
     return (
         rows.groupBy("url")
         .agg(w_latest.alias("v"))

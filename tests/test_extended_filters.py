@@ -69,6 +69,17 @@ def test_ascii85_specials():
         ascii85_decode(b"\xff~>")
 
 
+def test_ascii85_malformed_trailing_group_is_pdferror():
+    """A corrupt tail whose 'u'-padded value exceeds 2^32-1 (e.g.
+    "uu") must surface as PdfError -> decode_error row, never an
+    OverflowError that would kill the Spark task."""
+    for tail in (b"uu~>", b"uuu~>", b"uuuu~>", b"s8W-!uu~>"):
+        with pytest.raises(PdfError):
+            ascii85_decode(tail)
+    # boundary: the canonical 2-char tail for 0xff still decodes
+    assert ascii85_decode(b"rr~>") == b"\xff"
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.binary(max_size=800))
 def test_runlength_roundtrip(data):

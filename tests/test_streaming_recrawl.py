@@ -52,10 +52,10 @@ def _write_pages(spark, path, rows):
 def _history(spark, out):
     """url -> [status, ...] ordered by batch id."""
     rows = spark.read.parquet(f"{out}/verdicts").collect()
-    hist: dict[str, list[tuple[int, str]]] = {}
+    hist: dict[str, list[tuple[int, int, str]]] = {}
     for r in rows:
-        hist.setdefault(r.url, []).append((r.batch_id, r.status))
-    return {u: [s for _, s in sorted(v)] for u, v in hist.items()}
+        hist.setdefault(r.url, []).append((r.batch_id, r.seq, r.status))
+    return {u: [s for _, _, s in sorted(v)] for u, v in hist.items()}
 
 
 def test_status_transitions_across_batches(spark, tmp_path_factory):
@@ -128,6 +128,56 @@ def test_replay_is_idempotent(spark, tmp_path_factory):
         tuple(r) for r in spark.read.parquet(f"{out}/verdicts").collect()
     )
     assert before == after
+
+
+def test_within_batch_recrawls_report_true_latest(spark, tmp_path_factory):
+    """Two recrawls of one url inside ONE micro-batch: the freshness
+    report must carry the verdict of the LAST arrival in crawl order
+    ("changed"), not the lexicographically greatest status string
+    ("unchanged" > "changed")."""
+    base = str(tmp_path_factory.mktemp("sr5"))
+    inp, out, cp = f"{base}/in", f"{base}/out", f"{base}/cp"
+
+    _write_pages(spark, f"{inp}/f0", [("u1", b"v1", _ts(0))])
+    # one batch, two recrawls: same body at t=10, new body at t=11
+    _write_pages(spark, f"{inp}/f1",
+                 [("u1", b"v1", _ts(10)), ("u1", b"v2", _ts(11))])
+    stream_recrawl(spark, f"{inp}/*/", out, cp, max_files_per_trigger=1)
+    assert _history(spark, out)["u1"] == ["added", "unchanged", "changed"]
+    latest = {r.url: r.status for r in freshness_report(spark, out).collect()}
+    assert latest["u1"] == "changed"
+
+    # and the reverse order within one batch must report "unchanged"
+    _write_pages(spark, f"{inp}/f2",
+                 [("u1", b"v3", _ts(20)), ("u1", b"v3", _ts(21))])
+    stream_recrawl(spark, f"{inp}/*/", out, cp, max_files_per_trigger=1)
+    latest = {r.url: r.status for r in freshness_report(spark, out).collect()}
+    assert latest["u1"] == "unchanged"
+
+
+def test_late_arrival_behind_watermark_does_not_kill_query(
+    spark, tmp_path_factory
+):
+    """An ordinary late-landing file whose event times are already
+    older than watermark - TTL must not fail the query (the raw
+    timeout timestamp would be earlier than the watermark, which Spark
+    rejects); the url is simply due immediately and goes stale on the
+    next watermark advance."""
+    base = str(tmp_path_factory.mktemp("sr6"))
+    inp, out, cp = f"{base}/in", f"{base}/out", f"{base}/cp"
+    ttl_ms = 10_000
+
+    # batch 0 drives the watermark to t=100
+    _write_pages(spark, f"{inp}/f0", [("u2", b"v1", _ts(100))])
+    # batch 1: u1 lands LATE with ts=5; 5s + 10s TTL << watermark 100s
+    _write_pages(spark, f"{inp}/f1", [("u1", b"v1", _ts(5))])
+    # batch 2 advances the watermark past the clamped timer
+    _write_pages(spark, f"{inp}/f2", [("u2", b"v1", _ts(200))])
+    stream_recrawl(spark, f"{inp}/*/", out, cp, ttl_ms=ttl_ms,
+                   max_files_per_trigger=1)
+    h = _history(spark, out)
+    assert h["u1"] == ["added", "stale"]
+    assert h["u2"][0] == "added"
 
 
 def test_agrees_with_batch_crawl_delta_semantics(spark, tmp_path_factory):

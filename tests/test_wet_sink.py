@@ -114,7 +114,7 @@ def test_wet_record_timestamp_exact_at_extreme_epochs():
         assert _warc_ts_micros(date) == ts, (ts, date)
 
 
-def test_wet_run_token_namespaces_and_refuses_overwrite(spark, tmp_path):
+def test_wet_run_token_namespaces_and_idempotent_retry(spark, tmp_path):
     out = str(tmp_path / "runs")
     pages = _pages(spark).repartition(2, "url")
     lin1 = write_wet_files(pages, out, run_token="snap-1").collect()
@@ -122,10 +122,20 @@ def test_wet_run_token_namespaces_and_refuses_overwrite(spark, tmp_path):
     names = sorted(os.path.basename(p) for p in glob.glob(f"{out}/*"))
     assert all(n.startswith(("snap-1-part-", "snap-2-part-")) for n in names)
     assert len(names) == len(lin1) + len(lin2)
-    # same token (or tokenless collision) must refuse, not clobber
-    with pytest.raises(Exception, match="already exists"):
-        write_wet_files(pages, out, run_token="snap-1").collect()
-    # no torn temp files left behind by the failed run
+    # a retry of the same token (task retry after a crash between
+    # os.replace and task commit) must be idempotent: the already
+    # published files are left untouched and the SAME lineage rows
+    # come back, instead of a permanent FileExistsError
+    before = {
+        p: open(p, "rb").read() for p in glob.glob(f"{out}/snap-1-part-*")
+    }
+    lin1b = write_wet_files(pages, out, run_token="snap-1").collect()
+    assert sorted(map(tuple, lin1b)) == sorted(map(tuple, lin1))
+    after = {
+        p: open(p, "rb").read() for p in glob.glob(f"{out}/snap-1-part-*")
+    }
+    assert after == before
+    # no torn temp files left behind by the retried run
     assert not [n for n in glob.glob(f"{out}/*") if ".inprogress-" in n]
 
 
