@@ -18,6 +18,7 @@ Registry contract: every module exposes ``QUERIES: dict[name ->
 def all_queries():
     from pdf_parser_spark.ops import (
         assembly,
+        avmeta,
         bloom,
         clustering,
         containment,
@@ -31,7 +32,9 @@ def all_queries():
         heuristics,
         linkgraph,
         multimodal,
+        pdfimages,
         selection,
+        semantic,
         sketches,
         splits,
         pipeline,
@@ -44,33 +47,20 @@ def all_queries():
     )
 
     # Module order is load-bearing: the driver's CORRECTNESS pass
-    # evaluates only the first 50 registry entries.  The round-3 ops
-    # (containment .. bloom) that never entered round 3's window come
-    # first, then the modules CHANGED or ADDED in round 4 (filtering's
-    # url_host_filter gained PSL semantics; recrawl is new; dedup's
-    # dedup_cluster, similarity's ann_lsh_topk, and multimodal's
-    # decode changed) — the window covers exactly through curation
-    # (entry 50); everything past it is unchanged and holds green rows
-    # from CORRECTNESS_r03.json.
+    # evaluates only the first 50 registry entries (2 of which are
+    # the extract entries emitted ahead of these).  Standing policy
+    # (round-4 verdict): ops whose newest green row is OLDEST lead the
+    # registry, modules ADDED or CHANGED this round come next, and
+    # last round's freshly-certified ops fall past the window.  Round
+    # 5: the r3-certified group (webcorpus .. curation, untouched
+    # since their r3 rows) re-enters first; then the new r5 modules
+    # (semantic, pdfimages, avmeta) and the r5-touched ones
+    # (multimodal's frame_sample container branch, filtering's PSL
+    # rules file); dedup/textstats/containment pad the window to
+    # exactly 48; everything past containment holds green r4 rows and
+    # is source-unchanged this round.
     out = {}
     for mod in (
-        containment,
-        substring,
-        linkgraph,
-        editverify,
-        selection,
-        sketches,
-        splits,
-        heuristics,
-        bloom,
-        filtering,
-        recrawl,
-        dedup,
-        similarity,
-        textstats,
-        multimodal,
-        pipeline,
-        curation,
         webcorpus,
         temporal,
         corpusstats,
@@ -78,6 +68,26 @@ def all_queries():
         assembly,
         skewjoin,
         normalize,
+        curation,
+        semantic,
+        pdfimages,
+        avmeta,
+        multimodal,
+        filtering,
+        dedup,
+        textstats,
+        containment,
+        similarity,
+        heuristics,
+        bloom,
+        recrawl,
+        pipeline,
+        substring,
+        linkgraph,
+        editverify,
+        selection,
+        sketches,
+        splits,
     ):
         out.update(mod.QUERIES)
     return out

@@ -147,6 +147,7 @@ FRAME_SCHEMA = StructType(
 
 FRAME_STRIDE = 2
 FRAME_FPS_MS = 40  # 25 fps
+MAX_SAMPLED_FRAMES = 64  # fan-out cap for real (mvhd-timed) containers
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,11 +157,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame-level content hash.
 
     Scale: a narrow mapInPandas that EMITS more rows than it reads —
-    the output/input row ratio is bounded by frames/stride, so Arrow
-    batch memory stays bounded; no shuffle at all.  A real deployment
-    swaps the stub for ffmpeg keyframe extraction and the emitted
-    hash for a frame embedding; the fan-out shape is unchanged.
+    the output/input row ratio is bounded by frames/stride (and the
+    MAX_SAMPLED_FRAMES cap for real containers), so Arrow batch memory
+    stays bounded; no shuffle at all.  A real deployment swaps the
+    stub for ffmpeg keyframe extraction and the emitted hash for a
+    frame embedding; the fan-out shape is unchanged.
+
+    When the payload IS a real container (MP4 ftyp box), the frame
+    count and timestamps derive from the real mvhd timeline
+    (ops/containermeta.py) instead of the stub — unreachable for the
+    driver's text payloads (binary box framing cannot occur in UTF-8
+    text; asserted by tests), so the SQL twin stays the stub
+    arithmetic.
     """
+    from pdf_parser_spark.ops.containermeta import parse_container_header
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -168,7 +179,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 payload = text.encode("utf-8")
-                _fmt, _w, _h, n_frames = _decode(payload)
+                meta = parse_container_header(payload)
+                if meta is not None and meta["kind"] == "mp4":
+                    # real container timeline: one frame per FRAME_FPS_MS
+                    # tick, capped so fan-out stays bounded
+                    n_frames = min(
+                        max(1, meta["duration_ms"] // FRAME_FPS_MS),
+                        MAX_SAMPLED_FRAMES * FRAME_STRIDE,
+                    )
+                else:
+                    _fmt, _w, _h, n_frames = _decode(payload)
                 for idx in range(0, n_frames, FRAME_STRIDE):
                     rows.append(
                         (

@@ -369,6 +369,18 @@ def main() -> None:
          and "CartesianProduct" not in p)
     )
 
+    # 4ab. dedup_semantic: the SemDeDup pair join is CLUSTER-BUCKETED —
+    # an equi-join keyed on cluster_id (hash/SMJ), never a cartesian /
+    # nested-loop all-pairs; assignment stays a narrow Arrow map
+    from pdf_parser_spark.ops.semantic import dedup_semantic
+
+    p = plan_of(dedup_semantic(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("semantic-pair-join-cluster-bucketed",
+         any("cluster_id" in seg[:300] for seg in p.split("Join")[1:])
+         and "CartesianProduct" not in p and "NestedLoop" not in p)
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (
