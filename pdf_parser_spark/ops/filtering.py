@@ -74,7 +74,7 @@ def url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     side stays broadcast (the full public list is ~10k rows) — the
     plan shape survives.
     """
-    from pdf_parser_spark.ops.psl import with_registered_domain
+    from pdf_parser_spark.ops.psl import load_psl_file, with_registered_domain
 
     docs = load_table(spark, sf_dir, "documents")
     suffix = F.element_at(
@@ -87,7 +87,10 @@ def url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("news."), site),
     ).otherwise(site)
     pages = docs.select("doc_id", host.alias("host"))
-    withdom = with_registered_domain(pages)  # (doc_id, host, reg_domain)
+    # FULL vendored publicsuffix.org list (~9.5k rules, r5): the rules
+    # dimension is file-sourced and broadcast; the snapshot subset
+    # remains the unit-test fixture in ops/psl.py
+    withdom = with_registered_domain(pages, rules=load_psl_file())
     # JVM-literal blocklist (LocalTableScan): spark.createDataFrame on
     # a Python list plans a Scan ExistingRDD that spins up a Python
     # worker + an extra job just to broadcast a dozen rows — measured
@@ -125,7 +128,7 @@ def url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _url_host_filter_sql() -> str:
-    from pdf_parser_spark.ops.psl import psl_join_sql
+    from pdf_parser_spark.ops.psl import load_psl_file, psl_join_sql
 
     suffixes = ", ".join(f"'{s}'" for s in TLD_SUFFIXES)
     blocked = [
@@ -140,7 +143,7 @@ WITH pages AS (
          AS host
   FROM documents
 ),
-{psl_join_sql('pages')},
+{psl_join_sql('pages', rules=load_psl_file())},
 blocklist AS (
   SELECT unnest({blocked}) AS blocked_domain
 )

@@ -32,6 +32,8 @@ only, and nothing document-sized moves.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # Snapshot subset of the public suffix list (publicsuffix.org).
@@ -64,7 +66,55 @@ PSL_SNAPSHOT = [
     "ck", "*.ck", "!www.ck",
 ]
 
-MAX_RULE_LABELS = 5  # longest rule in the snapshot has 3; headroom
+MAX_RULE_LABELS = 5  # longest join key in the FULL list has 5 labels
+                     # (s3.dualstack.<region>.amazonaws.com); asserted
+                     # at load time below
+
+# The FULL public suffix list (publicsuffix.org, MPL-2.0 public data;
+# vendored from the Debian `publicsuffix` package's
+# public_suffix_list.dat) — ~9.5k rules, ICANN + PRIVATE sections.
+PSL_DATA_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "public_suffix_list.dat",
+)
+
+_PSL_FILE_CACHE: dict[str, list[str]] = {}
+
+
+def load_psl_file(path: str | None = None) -> list[str]:
+    """Parse a publicsuffix.org-format rules file into the rules list
+    (comments / blank lines dropped, both sections kept).  Unicode
+    (IDN) rules are converted label-by-label to punycode so they match
+    the ASCII hosts the pipeline carries; the list's own punycode
+    forms pass through unchanged.  Cached per path."""
+    path = path or PSL_DATA_PATH
+    cached = _PSL_FILE_CACHE.get(path)
+    if cached is not None:
+        return cached
+    rules: list[str] = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            if any(ord(c) > 127 for c in line):
+                pre = ""
+                if line.startswith("*."):
+                    pre, line = "*.", line[2:]
+                elif line.startswith("!"):
+                    pre, line = "!", line[1:]
+                line = pre + ".".join(
+                    lab.encode("idna").decode("ascii")
+                    if any(ord(c) > 127 for c in lab) else lab
+                    for lab in line.split(".")
+                )
+            rules.append(line)
+    assert all(
+        _parse_rule(r)[0].count(".") + 1 <= MAX_RULE_LABELS for r in rules
+    ), "a rule outgrew MAX_RULE_LABELS; bump the candidate explode bound"
+    _PSL_FILE_CACHE[path] = rules
+    return rules
 
 
 def _parse_rule(rule: str) -> tuple[str, str, int]:
@@ -89,9 +139,39 @@ def psl_rules_df(spark: SparkSession, rules: list[str] | None = None) -> DataFra
     JVM-literal build (spark.range + explode of literals) for the
     snapshot — same rationale as the blocklist in filtering.py: a
     createDataFrame over a Python list plans a Python-worker scan just
-    to broadcast a few dozen rows.  A full-list deployment reads the
-    file with spark.read instead."""
+    to broadcast a few dozen rows.  The FULL list (~9.5k rules,
+    load_psl_file) goes through createDataFrame instead: a 9.5k-struct
+    literal array would bloat the plan tree, while one Arrow-batched
+    local scan feeding a broadcast is exactly how a production job
+    ships a file-sourced dimension."""
     parsed = [_parse_rule(r) for r in (rules or PSL_SNAPSHOT)]
+    if len(parsed) > 200:
+        # one-time parquet spill so every subsequent run scans the
+        # dimension JVM-side (a createDataFrame per run would pay a
+        # Python-worker round trip each time); content-addressed path
+        # + atomic rename make it safe across concurrent sessions
+        import hashlib
+        import tempfile
+
+        rows = [
+            (k, ps, 1 if kind == "exception" else 0) for k, kind, ps in parsed
+        ]
+        digest = hashlib.md5(repr(rows).encode()).hexdigest()[:16]
+        path = os.path.join(
+            tempfile.gettempdir(), f"psl_rules_{digest}.parquet"
+        )
+        if not os.path.isdir(path):
+            tmp = f"{path}.build-{os.getpid()}"
+            spark.createDataFrame(
+                rows, "rule_key string, ps_len int, is_exc int"
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, path)
+            except OSError:  # lost the race: another session published
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+        return spark.read.parquet(path)
     return spark.range(1).select(
         F.explode(
             F.array(

@@ -23,7 +23,9 @@ def main() -> None:
                 if "__pycache__" in root:
                     continue
                 for f in sorted(files):
-                    if f.endswith(".py"):
+                    # .dat/.txt: vendored public data files (the full
+                    # public-suffix list + its official test vectors)
+                    if f.endswith((".py", ".dat", ".txt")):
                         full = os.path.join(root, f)
                         z.write(full, os.path.relpath(full, REPO))
     print(out)

@@ -104,6 +104,80 @@ def test_duckdb_fragment_matches_python_twin():
         assert reg == registered_domain(host), host
 
 
+# -- the FULL vendored publicsuffix.org list (r5) ------------------------------
+
+def _official_vector_file():
+    """(host, expected) pairs from the vendored publicsuffix.org
+    test_psl.txt (public domain, CC0), skipping null-input and
+    leading-dot rows (the pipeline pre-normalizes hosts: lowercase,
+    no empty labels) and IDNA-normalizing unicode rows to the punycode
+    forms the pipeline carries."""
+    import re
+
+    from pdf_parser_spark.ops.psl import PSL_DATA_PATH
+
+    def norm(h):
+        h = h.lower()
+        return ".".join(
+            lab.encode("idna").decode("ascii")
+            if any(ord(c) > 127 for c in lab) else lab
+            for lab in h.split(".")
+        )
+
+    path = os.path.join(os.path.dirname(PSL_DATA_PATH), "test_psl.txt")
+    pat = re.compile(r"^checkPublicSuffix\((null|'([^']*)'), (null|'([^']*)')\);")
+    out = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            m = pat.match(line.strip())
+            if not m:
+                continue
+            host = m.group(2) if m.group(1) != "null" else None
+            want = m.group(4) if m.group(3) != "null" else None
+            if host is None or host.startswith("."):
+                continue
+            out.append((norm(host), norm(want) if want is not None else None))
+    return out
+
+
+def test_full_list_loads_and_is_complete():
+    from pdf_parser_spark.ops.psl import MAX_RULE_LABELS, load_psl_file
+
+    rules = load_psl_file()
+    assert len(rules) > 9000  # the real ~9.5k-rule file, not a subset
+    assert any(r.startswith("*.") for r in rules)
+    assert any(r.startswith("!") for r in rules)
+    assert all(ord(c) < 128 for r in rules for c in r)  # punycode'd
+    assert max(
+        (r.lstrip("!").replace("*.", "", 1)).count(".") + 1 for r in rules
+    ) == MAX_RULE_LABELS
+
+
+def test_python_twin_passes_complete_official_vector_file():
+    from pdf_parser_spark.ops.psl import load_psl_file
+
+    vectors = _official_vector_file()
+    assert len(vectors) >= 70  # the whole applicable file, not a sample
+    rules = load_psl_file()
+    for host, want in vectors:
+        assert registered_domain(host, rules=rules) == want, host
+
+
+def test_duckdb_fragment_passes_official_vectors_on_full_list():
+    from pdf_parser_spark.ops.psl import load_psl_file
+
+    vectors = _official_vector_file()
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{h}')" for i, (h, _) in enumerate(vectors))
+    q = (
+        f"WITH pages(doc_id, host) AS (VALUES {vals}),\n"
+        f"{psl_join_sql('pages', rules=load_psl_file())}\n"
+        "SELECT doc_id, reg_domain FROM pages_psl ORDER BY doc_id"
+    )
+    for (i, reg) in con.execute(q).fetchall():
+        assert reg == vectors[i][1], vectors[i]
+
+
 @pytest.fixture(scope="module")
 def spark():
     from pdf_parser_spark.spark.session import build_session
@@ -111,6 +185,21 @@ def spark():
     s = build_session("psl-tests", master="local[4]", shuffle_partitions=4)
     yield s
     s.stop()
+
+
+def test_spark_plan_passes_official_vectors_on_full_list(spark):
+    from pdf_parser_spark.ops.psl import load_psl_file
+
+    vectors = _official_vector_file()
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(vectors)], "doc_id INT, host STRING"
+    )
+    out = with_registered_domain(df, rules=load_psl_file())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    got = {r.doc_id: r.reg_domain for r in out.collect()}
+    for i, (h, want) in enumerate(vectors):
+        assert got[i] == want, h
 
 
 def test_spark_plan_matches_python_twin(spark):
