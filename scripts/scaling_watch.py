@@ -92,7 +92,21 @@ def fire(mode: str, best_path: str, floor: float) -> tuple[float, bool]:
     return eff, (eff >= 0.8 and probes_ok(out, floor))
 
 
-small_done = {"--scaling-small": False, "--scaling-cluster-small": False}
+def _already_clean(best_path: str) -> bool:
+    """A prior session may have recorded a clean >=0.8 quarter-footprint
+    leg; don't burn quiet windows re-measuring it."""
+    path = os.path.join(REPO, best_path)
+    if not os.path.exists(path):
+        return False
+    with open(path) as f:
+        out = json.load(f)
+    return (out.get("value") or 0.0) >= 0.8 and probes_ok(out, 0.75)
+
+
+small_done = {
+    "--scaling-small": _already_clean("scaling_small_best.json"),
+    "--scaling-cluster-small": _already_clean("scaling_cluster_small_best.json"),
+}
 best_eff = 0.0
 while time.time() < DEADLINE:
     if os.path.exists(LOCK):
