@@ -110,9 +110,21 @@ small_done = {
 best_eff = 0.0
 while time.time() < DEADLINE:
     if os.path.exists(LOCK):
-        log({"kind": "skip", "reason": "foreground busy"})
-        time.sleep(60)
-        continue
+        # A foreground session that dies mid-bench leaves the lock
+        # behind and silences the hunt for the rest of the session
+        # (this happened in rounds 3 AND 5) — treat a lock older than
+        # 2 h as abandoned: no legitimate bench leg runs that long.
+        age = time.time() - os.path.getmtime(LOCK)
+        if age > 2 * 3600:
+            log({"kind": "stale-lock-removed", "age_s": round(age)})
+            try:
+                os.remove(LOCK)
+            except OSError:
+                pass
+        else:
+            log({"kind": "skip", "reason": "foreground busy"})
+            time.sleep(60)
+            continue
     p = bench.host_probe()
     p8 = bench.host_probe(8)
     th = threshold()
