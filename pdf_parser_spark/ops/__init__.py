@@ -30,6 +30,7 @@ def all_queries():
         editverify,
         filtering,
         heuristics,
+        incnear,
         linkgraph,
         multimodal,
         pdfimages,
@@ -56,9 +57,11 @@ def all_queries():
     # since their r3 rows) re-enters first; then the new r5 modules
     # (semantic, pdfimages, avmeta) and the r5-touched ones
     # (multimodal's frame_sample container branch, filtering's PSL
-    # rules file); dedup/textstats/containment pad the window to
-    # exactly 48; everything past containment holds green r4 rows and
-    # is source-unchanged this round.
+    # rules file, incnear added mid-round); dedup/textstats/containment
+    # pad the window to exactly 48 — incnear's insertion pushes
+    # ann_cosine_topk (r4-certified, source unchanged) just past the
+    # boundary; everything past it holds green r4 rows and is
+    # source-unchanged this round.
     out = {}
     for mod in (
         webcorpus,
@@ -72,6 +75,7 @@ def all_queries():
         semantic,
         pdfimages,
         avmeta,
+        incnear,
         multimodal,
         filtering,
         dedup,

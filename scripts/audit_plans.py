@@ -381,6 +381,22 @@ def main() -> None:
          and "CartesianProduct" not in p and "NestedLoop" not in p)
     )
 
+    # 4ac. incremental_minhash_dedup: the batch-vs-index candidate join
+    # is an equi-join on (band, band_key) — never cartesian/nested-loop
+    # — and document text never crosses a shuffle (only ids, 16-long
+    # signatures, and 32-byte band keys; the one Arrow eval is the
+    # signature UDF feeding the persisted relation)
+    from pdf_parser_spark.ops.incnear import incremental_minhash_dedup
+
+    p = plan_of(incremental_minhash_dedup(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("incnear-band-equijoin-no-text-shuffle",
+         any("band_key" in seg[:300] for seg in p.split("Join")[1:])
+         and "CartesianProduct" not in p and "NestedLoop" not in p
+         and all("text" not in seg[:400]
+                 for seg in p.split("Exchange hashpartitioning")[1:]))
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (
