@@ -27,6 +27,7 @@ def all_queries():
         normalize,
         curation,
         dedup,
+        drift,
         editverify,
         filtering,
         heuristics,
@@ -57,11 +58,11 @@ def all_queries():
     # since their r3 rows) re-enters first; then the new r5 modules
     # (semantic, pdfimages, avmeta) and the r5-touched ones
     # (multimodal's frame_sample container branch, filtering's PSL
-    # rules file, incnear added mid-round); dedup/textstats/containment
-    # pad the window to exactly 48 — incnear's insertion pushes
-    # ann_cosine_topk (r4-certified, source unchanged) just past the
-    # boundary; everything past it holds green r4 rows and is
-    # source-unchanged this round.
+    # rules file, incnear + drift added mid-round); dedup/textstats pad
+    # the window to exactly 48 — the two insertions push
+    # dedup_containment and ann_cosine_topk (both r4-certified, source
+    # unchanged) just past the boundary; everything past it holds
+    # green r4 rows and is source-unchanged this round.
     out = {}
     for mod in (
         webcorpus,
@@ -76,6 +77,7 @@ def all_queries():
         pdfimages,
         avmeta,
         incnear,
+        drift,
         multimodal,
         filtering,
         dedup,

@@ -397,6 +397,21 @@ def main() -> None:
                  for seg in p.split("Exchange hashpartitioning")[1:]))
     )
 
+    # 4ad. token_drift: the explosion collapses in a map-side partial
+    # sum before its exchange (shuffle volume O(vocab x partitions),
+    # never O(token instances)); the 1-row totals frame joins by
+    # broadcast; the top-K is a TakeOrdered, not a global sort; no
+    # Python anywhere
+    from pdf_parser_spark.ops.drift import token_drift
+
+    p = plan_of(token_drift(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("tokendrift-partial-agg-broadcast-totals",
+         "partial_sum" in p and "Broadcast" in p
+         and "TakeOrderedAndProject" in p
+         and "ArrowEvalPython" not in p)
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (
