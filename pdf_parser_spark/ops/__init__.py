@@ -34,6 +34,7 @@ def all_queries():
         incnear,
         linkgraph,
         multimodal,
+        overlap,
         pdfimages,
         selection,
         semantic,
@@ -58,11 +59,12 @@ def all_queries():
     # since their r3 rows) re-enters first; then the new r5 modules
     # (semantic, pdfimages, avmeta) and the r5-touched ones
     # (multimodal's frame_sample container branch, filtering's PSL
-    # rules file, incnear + drift added mid-round); dedup/textstats pad
-    # the window to exactly 48 — the two insertions push
-    # dedup_containment and ann_cosine_topk (both r4-certified, source
-    # unchanged) just past the boundary; everything past it holds
-    # green r4 rows and is source-unchanged this round.
+    # rules file; incnear + drift + overlap added mid-round);
+    # dedup/textstats pad the window to exactly 48 — the three
+    # insertions push text_entropy, dedup_containment and
+    # ann_cosine_topk (all r4-certified, source unchanged) just past
+    # the boundary; everything past it holds green r4 rows and is
+    # source-unchanged this round.
     out = {}
     for mod in (
         webcorpus,
@@ -78,6 +80,7 @@ def all_queries():
         avmeta,
         incnear,
         drift,
+        overlap,
         multimodal,
         filtering,
         dedup,
