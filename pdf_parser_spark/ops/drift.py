@@ -96,8 +96,9 @@ scored AS (
          (cnt_old * {PPM}) // total_old AS rpm_old
   FROM counts, totals
 )
-SELECT tok, cnt_new, cnt_old, rpm_new, rpm_old,
-       rpm_new - rpm_old AS drift_ppm
+SELECT tok, cnt_new::BIGINT AS cnt_new, cnt_old::BIGINT AS cnt_old,
+       rpm_new::BIGINT AS rpm_new, rpm_old::BIGINT AS rpm_old,
+       (rpm_new - rpm_old)::BIGINT AS drift_ppm
 FROM scored
 ORDER BY abs(rpm_new - rpm_old) DESC, tok ASC
 LIMIT {TOP_K}

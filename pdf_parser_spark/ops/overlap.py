@@ -22,6 +22,18 @@ Scale: the (lang, side, h) distinct pre-aggregation partial-combines
 map-side; the per-side ranking sorts distinct hashes only; everything
 downstream of the sketch filter is O(langs × K) rows, and the stats
 frame joins back by broadcast.
+
+Plan shape: the corpus is scanned ONCE.  A naive four-branch
+formulation (stats / new-side / old-side / union, each re-filtering
+the ranked sketch) recomputes the scan+distinct+rank pipeline per
+branch — Catalyst pushes each branch's `side` predicate below the
+rank window, so the exchange subtrees stop being equal and
+ReusedExchange can't dedup them (measured: 10 parquet scans at
+sf0.001).  Instead the two K-sketches collapse to one per-(lang, h)
+flags frame (in_new, in_old) — O(langs × 2K) rows — which is
+persisted; the per-lang stats aggregate, the theta filter, and the
+union/intersection counts all derive from that in-memory relation, so
+the only corpus-sized work is the single distinct pre-aggregation.
 """
 from __future__ import annotations
 
@@ -64,64 +76,50 @@ def sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = hashed.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= KMV_K
     )
-    per_side = sk.groupBy("lang", "side").agg(
-        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth")
-    )
-    # theta per side: the K-th hash, or the whole space when the
-    # sketch is exact (n < K)
-    theta_side = F.when(
-        F.col("n_sk") < KMV_K, F.lit(HASH_SPACE).cast("long")
-    ).otherwise(F.col("kth"))
-    stats = (
-        per_side.withColumn("theta_side", theta_side)
-        .groupBy("lang")
+    # Collapse the two K-sketches into one per-(lang, h) flags frame —
+    # O(langs x 2K) rows, the single cut point the whole rest of the
+    # query derives from (persisted: it is re-scanned for the stats
+    # aggregate and the theta-filtered counts).
+    flags = (
+        sk.groupBy("lang", "h")
         .agg(
-            F.coalesce(
-                F.max(F.when(F.col("side") == 1, F.col("n_sk"))), F.lit(0)
-            ).alias("n_new"),
-            F.coalesce(
-                F.max(F.when(F.col("side") == 1, F.col("kth"))), F.lit(0)
-            ).alias("kth_new"),
-            F.coalesce(
-                F.max(F.when(F.col("side") == 1, F.col("theta_side"))),
-                F.lit(HASH_SPACE).cast("long"),
-            ).alias("theta_new"),
-            F.coalesce(
-                F.max(F.when(F.col("side") == 0, F.col("n_sk"))), F.lit(0)
-            ).alias("n_old"),
-            F.coalesce(
-                F.max(F.when(F.col("side") == 0, F.col("kth"))), F.lit(0)
-            ).alias("kth_old"),
-            F.coalesce(
-                F.max(F.when(F.col("side") == 0, F.col("theta_side"))),
-                F.lit(HASH_SPACE).cast("long"),
-            ).alias("theta_old"),
+            F.max("side").alias("in_new"),
+            F.max(1 - F.col("side")).alias("in_old"),
         )
+        .persist()
+    )
+    # Per-side sketch size and K-th hash from the flags frame: the
+    # sketch rows per side are exactly the flagged rows, so
+    # n_side = sum(flag) and kth = max(h where flag).  theta per side
+    # is the K-th hash, or the whole space when the sketch is exact
+    # (n < K).
+    def _theta(n, kth):
+        return F.when(
+            F.col(n) < KMV_K, F.lit(HASH_SPACE).cast("long")
+        ).otherwise(F.coalesce(F.col(kth), F.lit(HASH_SPACE).cast("long")))
+
+    stats = (
+        flags.groupBy("lang")
+        .agg(
+            F.sum("in_new").alias("n_new"),
+            F.max(F.when(F.col("in_new") == 1, F.col("h"))).alias("kth_new"),
+            F.sum("in_old").alias("n_old"),
+            F.max(F.when(F.col("in_old") == 1, F.col("h"))).alias("kth_old"),
+        )
+        .na.fill({"n_new": 0, "n_old": 0, "kth_new": 0, "kth_old": 0})
+        .withColumn("theta_new", _theta("n_new", "kth_new"))
+        .withColumn("theta_old", _theta("n_old", "kth_old"))
         .withColumn("theta", F.least("theta_new", "theta_old"))
     )
 
-    sk_new = sk.filter(F.col("side") == 1).select("lang", "h")
-    sk_old = sk.filter(F.col("side") == 0).select(
-        F.col("lang").alias("lang_o"), F.col("h").alias("h_o")
-    )
-    common = (
-        sk_new.join(
-            sk_old,
-            (F.col("lang") == F.col("lang_o"))
-            & (F.col("h") == F.col("h_o")),
+    counts = (
+        flags.join(F.broadcast(stats.select("lang", "theta")), "lang")
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_union"),
+            F.sum(F.col("in_new") * F.col("in_old")).alias("n_common"),
         )
-        .join(F.broadcast(stats.select("lang", "theta")), "lang")
-        .filter(F.col("h") < F.col("theta"))
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    union_below = (
-        sk.select("lang", "h")
-        .distinct()
-        .join(F.broadcast(stats.select("lang", "theta")), "lang")
-        .filter(F.col("h") < F.col("theta"))
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_union"))
     )
 
     est = (
@@ -129,8 +127,7 @@ def sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" ELSE ({KMV_K - 1} * CAST({HASH_SPACE} AS BIGINT)) DIV {kth} END"
     )
     out = (
-        stats.join(common, "lang", "left")
-        .join(union_below, "lang", "left")
+        stats.join(counts, "lang", "left")
         .na.fill({"n_common": 0, "n_union": 0})
         .selectExpr(
             "lang",

@@ -412,6 +412,25 @@ def main() -> None:
          and "ArrowEvalPython" not in p)
     )
 
+    # 4ae. sketch_overlap: the two K-sketches collapse into ONE
+    # persisted per-(lang, h) flags relation — every downstream branch
+    # reads InMemoryTableScan, so the corpus is scanned once; the
+    # theta frame joins by broadcast; no cartesian, no Python, and
+    # nothing text-sized crosses a shuffle (only lang/side/h rows)
+    from pdf_parser_spark.ops.overlap import sketch_overlap
+
+    df = sketch_overlap(spark, "/root/testdata/sf0.001")
+    p = plan_of(df)
+    checks.append(
+        ("sketchoverlap-single-scan-broadcast-theta",
+         "InMemoryTableScan" in p and "Broadcast" in p
+         and "CartesianProduct" not in p and "NestedLoop" not in p
+         and "ArrowEvalPython" not in p
+         and all("text" not in seg[:400]
+                 for seg in p.split("Exchange hashpartitioning")[1:]))
+    )
+    spark.catalog.clearCache()
+
     # 5. arrow batch size applied
     checks.append(
         (
