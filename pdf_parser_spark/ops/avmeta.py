@@ -2,7 +2,8 @@
 
 Same contract as ``pdf_image_stats``: the testdata has no binary media
 column, so each ``documents`` row deterministically synthesizes a REAL
-container — an MP4 (ftyp + moov/mvhd/tkhd) or a WAV (RIFF fmt+data)
+container — an MP4 (ftyp + moov/mvhd/tkhd), a WAV (RIFF fmt+data),
+an MP3 (CBR MPEG-1 Layer III frame chain), or a FLAC (STREAMINFO)
 — with parameters derived from md5 arithmetic over the text.  The
 Spark side parses the container back with the struct-level header
 walker (ops/containermeta.py), and the DuckDB twin recomputes the
@@ -32,6 +33,8 @@ from pyspark.sql.types import (
 
 from pdf_parser_spark.ops.common import load_table
 from pdf_parser_spark.ops.containermeta import (
+    build_flac,
+    build_mp3,
     build_mp4,
     build_wav,
     parse_container_header,
@@ -39,6 +42,9 @@ from pdf_parser_spark.ops.containermeta import (
 
 MP4_TIMESCALE = 600
 WAV_RATES = [8000, 16000, 22050, 44100]
+MP3_BITRATES = [128, 192, 256, 320]
+MP3_RATES = [44100, 48000, 32000]
+FLAC_RATES = [44100, 48000, 96000]
 
 
 def _h32(s: bytes) -> int:
@@ -47,15 +53,27 @@ def _h32(s: bytes) -> int:
 
 def _doc_container(payload: bytes) -> bytes:
     """Deterministic real container for a document's payload."""
-    if _h32(b"ck|" + payload) % 2 == 0:
+    kind = _h32(b"ck|" + payload) % 4
+    if kind == 0:
         dur_ms = 1000 + _h32(b"vd|" + payload) % 600_000
         w = 160 + _h32(b"vw|" + payload) % 1760
         h = 90 + _h32(b"vh|" + payload) % 990
         return build_mp4(dur_ms, w, h, timescale=MP4_TIMESCALE)
-    sr = WAV_RATES[_h32(b"sr|" + payload) % 4]
-    ch = 1 + _h32(b"ch|" + payload) % 2
-    n_samples = 1000 + _h32(b"ns|" + payload) % 1_000_000
-    return build_wav(sr, ch, 16, n_samples)
+    if kind == 1:
+        sr = WAV_RATES[_h32(b"sr|" + payload) % 4]
+        ch = 1 + _h32(b"ch|" + payload) % 2
+        n_samples = 1000 + _h32(b"ns|" + payload) % 1_000_000
+        return build_wav(sr, ch, 16, n_samples)
+    if kind == 2:
+        br = MP3_BITRATES[_h32(b"br|" + payload) % 4]
+        sr = MP3_RATES[_h32(b"ms|" + payload) % 3]
+        ch = 1 + _h32(b"mc|" + payload) % 2
+        n_frames = 1 + _h32(b"nf|" + payload) % 20
+        return build_mp3(br, sr, ch, n_frames)
+    sr = FLAC_RATES[_h32(b"fs|" + payload) % 3]
+    ch = 1 + _h32(b"fc|" + payload) % 2
+    total = 1000 + _h32(b"ft|" + payload) % 10_000_000
+    return build_flac(sr, ch, 16, total)
 
 
 _META_SCHEMA = StructType(
@@ -110,26 +128,40 @@ _H = "(('0x' || substr(md5({e}), 1, 8))::BIGINT)"
 MULTIMODAL_CONTAINER_META_SQL = f"""
 WITH params AS (
   SELECT doc_id,
-         ({_H.format(e="concat('ck|', text)")} % 2 = 0) AS is_mp4,
+         ({_H.format(e="concat('ck|', text)")} % 4) AS k,
          (1000 + ({_H.format(e="concat('vd|', text)")} % 600000)) AS dur_ms,
          (160 + ({_H.format(e="concat('vw|', text)")} % 1760)) AS vw,
          (90 + ({_H.format(e="concat('vh|', text)")} % 990)) AS vh,
          ([8000, 16000, 22050, 44100])[
              ({_H.format(e="concat('sr|', text)")} % 4) + 1] AS sr,
          (1 + ({_H.format(e="concat('ch|', text)")} % 2)) AS ch,
-         (1000 + ({_H.format(e="concat('ns|', text)")} % 1000000)) AS ns
+         (1000 + ({_H.format(e="concat('ns|', text)")} % 1000000)) AS ns,
+         ([44100, 48000, 32000])[
+             ({_H.format(e="concat('ms|', text)")} % 3) + 1] AS m_sr,
+         (1 + ({_H.format(e="concat('mc|', text)")} % 2)) AS m_ch,
+         (1 + ({_H.format(e="concat('nf|', text)")} % 20)) AS m_frames,
+         ([44100, 48000, 96000])[
+             ({_H.format(e="concat('fs|', text)")} % 3) + 1] AS f_sr,
+         (1 + ({_H.format(e="concat('fc|', text)")} % 2)) AS f_ch,
+         (1000 + ({_H.format(e="concat('ft|', text)")} % 10000000)) AS f_total
   FROM documents
 )
 SELECT doc_id,
-       CASE WHEN is_mp4 THEN 'mp4' ELSE 'wav' END AS kind,
-       CAST(CASE WHEN is_mp4
+       CASE k WHEN 0 THEN 'mp4' WHEN 1 THEN 'wav'
+              WHEN 2 THEN 'mp3' ELSE 'flac' END AS kind,
+       CAST(CASE k
             -- mvhd timescale round-trip: ms -> ticks -> ms (truncating)
-            THEN ((dur_ms * {MP4_TIMESCALE}) // 1000) * 1000 // {MP4_TIMESCALE}
-            ELSE (ns * 1000) // sr END AS BIGINT) AS duration_ms,
-       CAST(CASE WHEN is_mp4 THEN vw END AS INTEGER) AS width,
-       CAST(CASE WHEN is_mp4 THEN vh END AS INTEGER) AS height,
-       CAST(CASE WHEN is_mp4 THEN NULL ELSE sr END AS INTEGER) AS sample_rate,
-       CAST(CASE WHEN is_mp4 THEN NULL ELSE ch END AS INTEGER) AS channels
+            WHEN 0 THEN ((dur_ms * {MP4_TIMESCALE}) // 1000)
+                        * 1000 // {MP4_TIMESCALE}
+            WHEN 1 THEN (ns * 1000) // sr
+            WHEN 2 THEN (m_frames * 1152 * 1000) // m_sr
+            ELSE (f_total * 1000) // f_sr END AS BIGINT) AS duration_ms,
+       CAST(CASE k WHEN 0 THEN vw END AS INTEGER) AS width,
+       CAST(CASE k WHEN 0 THEN vh END AS INTEGER) AS height,
+       CAST(CASE k WHEN 1 THEN sr WHEN 2 THEN m_sr
+                   WHEN 3 THEN f_sr END AS INTEGER) AS sample_rate,
+       CAST(CASE k WHEN 1 THEN ch WHEN 2 THEN m_ch
+                   WHEN 3 THEN f_ch END AS INTEGER) AS channels
 FROM params
 """
 

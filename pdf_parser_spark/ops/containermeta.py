@@ -11,6 +11,13 @@ specs:
 - WAV (RIFF/WAVE, the Microsoft/IBM spec): ``fmt `` chunk (channels,
   sample rate, bits per sample, block align) + ``data`` chunk size →
   sample count → milliseconds.
+- MP3 (MPEG-1 Layer III, ISO/IEC 11172-3): frame-header sync walk —
+  bitrate/sample-rate/channel-mode tables from the public spec, frame
+  length 144·bitrate/rate(+padding), 1152 samples per frame; duration
+  = frames·1152/rate.  The 0xFF sync byte never occurs in UTF-8, so
+  the sniff is unreachable from decoded corpus text.
+- FLAC (xiph.org format spec): ``fLaC`` magic + STREAMINFO block —
+  20-bit sample rate, 3-bit channels−1, 36-bit total samples.
 
 Frame/sample EXTRACTION still needs codecs and stays stubbed; the
 metadata here is what a 100 TB multimodal curation pass actually
@@ -25,14 +32,20 @@ import struct
 def parse_container_header(data: bytes) -> dict | None:
     """Container metadata dict or None if not a recognized container.
 
-    MP4 → {kind: "mp4", duration_ms, width, height}
-    WAV → {kind: "wav", duration_ms, sample_rate, channels, bits}
+    MP4  → {kind: "mp4", duration_ms, width, height}
+    WAV  → {kind: "wav", duration_ms, sample_rate, channels, bits}
+    MP3  → {kind: "mp3", duration_ms, sample_rate, channels, bitrate_kbps}
+    FLAC → {kind: "flac", duration_ms, sample_rate, channels, bits}
     Never raises on malformed variants of a recognized magic."""
     try:
         if len(data) >= 12 and data[4:8] == b"ftyp":
             return _mp4(data)
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return _wav(data)
+        if data[:4] == b"fLaC":
+            return _flac(data)
+        if len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0:
+            return _mp3(data)
     except (struct.error, IndexError, ValueError):
         return None
     return None
@@ -156,6 +169,123 @@ def _wav(data: bytes) -> dict | None:
         "channels": ch,
         "bits": bits,
     }
+
+
+# -- MP3 (MPEG-1 Layer III) ---------------------------------------------------
+
+# public tables, ISO/IEC 11172-3: bitrate index -> kbps, rate index -> Hz
+_MP3_BITRATE_KBPS = [
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
+_MP3_RATES = [44100, 48000, 32000]
+_MP3_SAMPLES_PER_FRAME = 1152
+
+
+def _mp3(data: bytes) -> dict | None:
+    """Walk MPEG-1 Layer III frames from offset 0; duration from the
+    frame count (CBR framing — each header is re-validated, so a
+    corrupt tail just ends the walk instead of raising)."""
+    n = len(data)
+    pos = 0
+    frames = 0
+    sr = ch = br = None
+    while pos + 4 <= n:
+        b0, b1, b2, b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        if (b1 >> 3) & 0x3 != 0x3 or (b1 >> 1) & 0x3 != 0x1:
+            break  # not MPEG-1 / not Layer III
+        bi = (b2 >> 4) & 0xF
+        ri = (b2 >> 2) & 0x3
+        if bi == 0 or bi == 0xF or ri == 3:
+            break  # free-format / bad indices
+        f_br = _MP3_BITRATE_KBPS[bi] * 1000
+        f_sr = _MP3_RATES[ri]
+        if frames == 0:
+            br, sr = f_br, f_sr
+            ch = 1 if ((b3 >> 6) & 0x3) == 0x3 else 2
+        elif (f_br, f_sr) != (br, sr):
+            break  # VBR / desynced: count only the consistent prefix
+        padding = (b2 >> 1) & 0x1
+        flen = 144 * f_br // f_sr + padding
+        if flen <= 4:
+            break
+        frames += 1
+        pos += flen
+    if frames == 0 or not sr:
+        return None
+    return {
+        "kind": "mp3",
+        "duration_ms": frames * _MP3_SAMPLES_PER_FRAME * 1000 // sr,
+        "sample_rate": sr,
+        "channels": ch,
+        "bitrate_kbps": br // 1000,
+    }
+
+
+def build_mp3(bitrate_kbps: int, sample_rate: int, channels: int,
+              n_frames: int) -> bytes:
+    """Minimal CBR MPEG-1 Layer III stream: n_frames frames of the
+    spec frame length, zero-filled bodies (header-only metadata)."""
+    bi = _MP3_BITRATE_KBPS.index(bitrate_kbps)
+    ri = _MP3_RATES.index(sample_rate)
+    hdr = bytes(
+        [
+            0xFF,
+            0xE0 | (0x3 << 3) | (0x1 << 1) | 0x1,  # MPEG1, Layer III, no CRC
+            (bi << 4) | (ri << 2),                 # no padding
+            (0x3 if channels == 1 else 0x0) << 6,  # mono / stereo
+        ]
+    )
+    flen = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = hdr + b"\x00" * (flen - 4)
+    return frame * n_frames
+
+
+# -- FLAC ----------------------------------------------------------------------
+
+def _flac(data: bytes) -> dict | None:
+    """fLaC magic + STREAMINFO (mandatory first metadata block)."""
+    if len(data) < 8 + 34:
+        return None
+    if data[4] & 0x7F != 0:  # first block must be STREAMINFO (type 0)
+        return None
+    blen = int.from_bytes(data[5:8], "big")
+    if blen < 34:
+        return None
+    si = data[8 : 8 + 34]
+    packed = int.from_bytes(si[10:18], "big")
+    sr = packed >> 44
+    ch = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if sr == 0:
+        return None
+    return {
+        "kind": "flac",
+        "duration_ms": total * 1000 // sr,
+        "sample_rate": sr,
+        "channels": ch,
+        "bits": bits,
+    }
+
+
+def build_flac(sample_rate: int, channels: int, bits: int,
+               total_samples: int) -> bytes:
+    """Minimal FLAC: magic + last-block STREAMINFO (34 bytes)."""
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | (total_samples & ((1 << 36) - 1))
+    )
+    si = (
+        struct.pack(">HH", 4096, 4096)       # min/max block size
+        + b"\x00" * 6                        # min/max frame size (unknown)
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16                       # md5 of unencoded audio
+    )
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si
 
 
 def build_wav(sample_rate: int, channels: int, bits: int,

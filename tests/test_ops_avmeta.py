@@ -10,6 +10,8 @@ import pytest
 from hypothesis import given, settings, strategies as st
 
 from pdf_parser_spark.ops.containermeta import (
+    build_flac,
+    build_mp3,
     build_mp4,
     build_wav,
     parse_container_header,
@@ -62,9 +64,40 @@ def test_wav_round_trip_and_duration_math():
     assert m["duration_ms"] == 12345 * 1000 // 22050
 
 
+def test_mp3_round_trip_and_duration_math():
+    m = parse_container_header(build_mp3(128, 44100, 2, 38))
+    assert m == {"kind": "mp3", "duration_ms": 38 * 1152 * 1000 // 44100,
+                 "sample_rate": 44100, "channels": 2, "bitrate_kbps": 128}
+    m = parse_container_header(build_mp3(320, 32000, 1, 1))
+    assert m == {"kind": "mp3", "duration_ms": 1152 * 1000 // 32000,
+                 "sample_rate": 32000, "channels": 1, "bitrate_kbps": 320}
+
+
+def test_mp3_corrupt_tail_counts_consistent_prefix():
+    good = build_mp3(192, 48000, 2, 5)
+    m = parse_container_header(good + b"\xff\xfbgarbage-not-a-frame")
+    # the appended bytes are not a valid same-params frame header, so
+    # the walk ends after the 5 real frames (never raises)
+    assert m["duration_ms"] == 5 * 1152 * 1000 // 48000
+
+
+def test_flac_round_trip_and_duration_math():
+    m = parse_container_header(build_flac(48000, 2, 16, 480000))
+    assert m == {"kind": "flac", "duration_ms": 10000, "sample_rate": 48000,
+                 "channels": 2, "bits": 16}
+    m = parse_container_header(build_flac(96000, 1, 16, 123457))
+    assert m["duration_ms"] == 123457 * 1000 // 96000
+    # 36-bit total-samples boundary
+    m = parse_container_header(build_flac(44100, 2, 16, (1 << 36) - 1))
+    assert m["duration_ms"] == ((1 << 36) - 1) * 1000 // 44100
+
+
 def test_rejects_non_containers():
     for junk in (b"", b"RIFF", b"RIFFxxxxWAVE", b"xxxxftyp",
-                 b"\x00" * 40, b"RIFF\x10\x00\x00\x00WAVEjunk"):
+                 b"\x00" * 40, b"RIFF\x10\x00\x00\x00WAVEjunk",
+                 b"fLaC", b"fLaC" + b"\x00" * 10,
+                 b"\xff\xe0\x00\x00",          # free-format bitrate
+                 b"\xff\xf0\xff\xff" * 4):     # bad indices
         assert parse_container_header(junk) is None
 
 
@@ -72,13 +105,14 @@ def test_rejects_non_containers():
 @given(st.binary(max_size=300))
 def test_parser_total_on_arbitrary_bytes(data):
     r = parse_container_header(data)
-    assert r is None or r["kind"] in ("mp4", "wav")
+    assert r is None or r["kind"] in ("mp4", "wav", "mp3", "flac")
 
 
 @settings(max_examples=100, deadline=None)
 @given(st.binary(max_size=200))
 def test_parser_total_on_magic_prefixed_garbage(data):
-    for prefix in (b"\x00\x00\x00\x14ftyp", b"RIFF\xff\x00\x00\x00WAVE"):
+    for prefix in (b"\x00\x00\x00\x14ftyp", b"RIFF\xff\x00\x00\x00WAVE",
+                   b"fLaC\x00\x00\x00\x22", b"\xff\xfb\x90\x00"):
         r = parse_container_header(prefix + data)
         assert r is None or isinstance(r.get("duration_ms"), int)
 
@@ -93,6 +127,7 @@ def test_corpus_never_parses_as_container():
             f"read_parquet('/root/testdata/{sf}/documents.parquet') "
             f"WHERE substr(text, 5, 4) = 'ftyp' "
             f"   OR (text LIKE 'RIFF%' AND substr(text, 9, 4) = 'WAVE')"
+            f"   OR text LIKE 'fLaC%'"
         ).fetchone()[0]
         assert n == 0, f"{sf}: {n} rows would bypass the stub oracle"
 
