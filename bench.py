@@ -119,6 +119,9 @@ BENCH_OPS = [
     "dedup_semantic",
     "pdf_image_stats",
     "multimodal_container_meta",
+    "incremental_minhash_dedup",
+    "token_drift",
+    "sketch_overlap",
 ]
 
 
