@@ -748,6 +748,22 @@ def main():
         "host_capacity": probe["parallel_capacity_frac"],
         "host_capacity_after": probe_after["parallel_capacity_frac"],
     }
+    # North-rule N->4N scaling evidence, banked by the quarter-footprint
+    # legs (--scaling-small / --scaling-cluster-small, probe-gated; see
+    # BASELINE.md "Scaling"): surface the efficiencies in the official
+    # record so BENCH_r{N}.json carries them alongside the detail files.
+    scal = {}
+    for fname, key in (
+        ("scaling_small_best.json", "threads_2to8"),
+        ("scaling_cluster_small_best.json", "executors_1to4"),
+    ):
+        try:
+            with open(os.path.join(REPO, fname)) as f:
+                scal[key] = json.load(f)["value"]
+        except (OSError, ValueError, KeyError):
+            pass
+    if scal:
+        out["scaling_efficiency"] = scal
     print(summary_line(out))
 
 
