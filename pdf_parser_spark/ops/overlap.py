@@ -88,6 +88,12 @@ def sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # Materialize ONCE before the plan fans out (stats is referenced
+    # both as the broadcast theta frame and as the output's left side;
+    # concurrent first-computation of an unmaterialized cached relation
+    # is not deduped — the dedup_cluster finding, PLANS.md §12).  One
+    # cheap action pins the corpus-sized pipeline to a single scan.
+    flags.count()
     # Per-side sketch size and K-th hash from the flags frame: the
     # sketch rows per side are exactly the flagged rows, so
     # n_side = sum(flag) and kth = max(h where flag).  theta per side
