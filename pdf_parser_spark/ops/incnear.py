@@ -71,6 +71,12 @@ def incremental_minhash_dedup(
         .select("doc_id", sig_udf(F.col("text")).alias("sig"))
         .persist()
     )
+    # Materialize ONCE: sig feeds both band-join sides and the final
+    # left join — three references, and concurrent first-computation
+    # of an unmaterialized cached relation is not deduped (PLANS.md
+    # §12), so without an action the Arrow signature pass runs up to
+    # three times.
+    sig.count()
     batch_sig = sig.filter(_batch_pred())
     index_sig = sig.filter(~_batch_pred())
 
