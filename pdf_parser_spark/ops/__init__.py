@@ -19,7 +19,9 @@ def all_queries():
     from pdf_parser_spark.ops import (
         assembly,
         avmeta,
+        blocklist,
         bloom,
+        centrality,
         clustering,
         containment,
         corpusstats,
@@ -57,14 +59,16 @@ def all_queries():
     # last round's freshly-certified ops fall past the window.  Round
     # 5: the r3-certified group (webcorpus .. curation, untouched
     # since their r3 rows) re-enters first; then the new r5 modules
-    # (semantic, pdfimages, avmeta) and the r5-touched ones
+    # (semantic, pdfimages, avmeta; incnear + drift + overlap +
+    # blocklist + centrality added mid-round) and the r5-touched ones
     # (multimodal's frame_sample container branch, filtering's PSL
-    # rules file; incnear + drift + overlap added mid-round);
-    # dedup/textstats pad the window to exactly 48 — the three
-    # insertions push text_entropy, dedup_containment and
+    # rules file); dedup/textstats pad the window to exactly 48 —
+    # the five insertions push text_lang_id, text_fingerprint,
+    # text_repetition, text_entropy, dedup_containment and
     # ann_cosine_topk (all r4-certified, source unchanged) just past
-    # the boundary; everything past it holds green r4 rows and is
-    # source-unchanged this round.
+    # the boundary;
+    # everything past it holds green r4 rows and is source-unchanged
+    # this round.
     out = {}
     for mod in (
         webcorpus,
@@ -81,6 +85,8 @@ def all_queries():
         incnear,
         drift,
         overlap,
+        blocklist,
+        centrality,
         multimodal,
         filtering,
         dedup,

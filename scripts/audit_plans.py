@@ -431,6 +431,44 @@ def main() -> None:
     )
     spark.catalog.clearCache()
 
+    # 4af. url_blocklist_filter: the category list joins by BROADCAST
+    # and the op is row-per-input — zero hash-partition exchanges at
+    # any corpus size; keyword scoring is scan-local JVM contains (no
+    # Python)
+    from pdf_parser_spark.ops.blocklist import url_blocklist_filter
+
+    p = plan_of(url_blocklist_filter(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("blocklist-broadcast-no-shuffle",
+         "BroadcastHashJoin" in p
+         and "Exchange hashpartitioning" not in p
+         and "ArrowEvalPython" not in p)
+    )
+
+    # 4ag. host_centrality_hyperball: every radius step reads the
+    # PERSISTED register/edge relations (InMemoryTableScan — the
+    # corpus parquet is scanned once, not once per radius), merges are
+    # partial-aggregated groupBy-max, and nothing but (node, bucket,
+    # rho) triples crosses a shuffle; no cartesian anywhere — the only
+    # intentional cross join is nodes x the 16-row bucket frame
+    from pdf_parser_spark.ops.centrality import host_centrality_hyperball
+
+    df = host_centrality_hyperball(spark, "/root/testdata/sf0.001")
+    p = plan_of(df)
+    # (InMemoryRelation reprints its cached child plan under every
+    # InMemoryTableScan, so "Scan parquet" still appears textually —
+    # the load-bearing property is that every register/edge reference
+    # reads a cache: >= T+1 merge reads + T+1 estimate reads)
+    checks.append(
+        ("hyperball-register-reuse-partial-max",
+         p.count("InMemoryTableScan") >= 8
+         and "partial_max" in p
+         and "ArrowEvalPython" not in p
+         and all("text" not in seg[:400]
+                 for seg in p.split("Exchange hashpartitioning")[1:]))
+    )
+    spark.catalog.clearCache()
+
     # 5. arrow batch size applied
     checks.append(
         (
