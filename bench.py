@@ -122,6 +122,8 @@ BENCH_OPS = [
     "incremental_minhash_dedup",
     "token_drift",
     "sketch_overlap",
+    "url_blocklist_filter",
+    "host_centrality_hyperball",
 ]
 
 
