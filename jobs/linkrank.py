@@ -24,6 +24,11 @@ see pagerank_over_edges' lineage note).  Edge extraction is
 embarrassingly parallel; the per-iteration shuffle carries (dst,
 contrib) longs keyed by host, and AQE broadcasts the rank table onto
 the edge list while hosts are few.
+
+``--harmonic`` additionally emits HyperBall harmonic centrality
+(harmonic_e6, ops/centrality.py) over the SAME persisted edge
+relation — the second recurrence costs O(hosts × 16) register rows
+per radius, never another corpus scan.
 """
 
 from __future__ import annotations
@@ -70,14 +75,29 @@ def host_edges(pages: DataFrame) -> DataFrame:
     )
 
 
-def host_ranks(pages: DataFrame, iters: int = 3) -> DataFrame:
+def host_ranks(
+    pages: DataFrame, iters: int = 3, harmonic: bool = False
+) -> DataFrame:
     from pdf_parser_spark.ops.linkgraph import pagerank_over_edges
 
-    return pagerank_over_edges(host_edges(pages), iters).selectExpr(
+    edges = host_edges(pages)
+    ranks = pagerank_over_edges(edges, iters).selectExpr(
         "node AS host",
         "pr AS pagerank_e9",
         "outdeg AS out_degree",
     )
+    if not harmonic:
+        return ranks
+    # HyperBall harmonic centrality over the SAME edge relation
+    # (persisted inside both recurrences, so the corpus-scanning edge
+    # extraction still runs once); node set is identical by
+    # construction, so the join is an O(hosts) equi-join
+    from pdf_parser_spark.ops.centrality import hyperball_over_edges
+
+    hb = hyperball_over_edges(edges, radius=iters).selectExpr(
+        "node AS host", "harmonic_e6"
+    )
+    return ranks.join(hb, "host")
 
 
 def main() -> None:
@@ -85,6 +105,11 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="pages table (parquet dir)")
     ap.add_argument("--output", required=True, help="host-rank output dir")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument(
+        "--harmonic",
+        action="store_true",
+        help="also emit HyperBall harmonic centrality (harmonic_e6)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -92,7 +117,7 @@ def main() -> None:
 
     spark = build_session("pdf-parser-spark-linkrank", master=args.master)
     pages = spark.read.parquet(args.input)
-    ranks = host_ranks(pages, args.iters)
+    ranks = host_ranks(pages, args.iters, harmonic=args.harmonic)
     ranks.write.mode("overwrite").parquet(args.output)
     top = ranks.orderBy(F.desc("pagerank_e9")).limit(10).collect()
     for r in top:

@@ -99,12 +99,14 @@ def _estimate(nodes: DataFrame, buckets: DataFrame, regs: DataFrame,
     )
 
 
-def host_centrality_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(host_id, ball0_e, ball1_e, ball2_e, ball3_e, harmonic_e6):
-    HyperBall harmonic centrality over the derived host graph —
-    integer-HLL in-ball estimates at radii 0..T and the harmonic sum
-    ``Σ_t (ball_t - ball_{t-1}) × 1e6 div t``."""
-    edges = _edges(spark, sf_dir).persist()
+def hyperball_over_edges(edges: DataFrame, radius: int = T) -> DataFrame:
+    """(node, ball0_e..ball<radius>_e, harmonic_e6) over an arbitrary
+    distinct-(src, dst) edge DataFrame (any node type whose string
+    cast is stable — BIGINT host ids here, hostname strings in the
+    real extracted-link job, jobs/linkrank.py) — shared by the oracled
+    derived-graph op below, mirroring pagerank_over_edges."""
+    spark = edges.sparkSession
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -115,7 +117,7 @@ def host_centrality_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     regs = _init_regs(nodes).persist()
     ests = [_estimate(nodes, buckets, regs, "ball0_e")]
-    for t in range(1, T + 1):
+    for t in range(1, radius + 1):
         regs = _merge_step(regs, edges).persist()
         ests.append(_estimate(nodes, buckets, regs, f"ball{t}_e"))
 
@@ -124,13 +126,22 @@ def host_centrality_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.join(e, "node")
     harmonic = " + ".join(
         f"((ball{t}_e - ball{t - 1}_e) * {HC_SCALE}) div {t}"
-        for t in range(1, T + 1)
+        for t in range(1, radius + 1)
     )
     return out.selectExpr(
-        "node AS host_id",
-        *[f"ball{t}_e" for t in range(T + 1)],
+        "node",
+        *[f"ball{t}_e" for t in range(radius + 1)],
         f"{harmonic} AS harmonic_e6",
     )
+
+
+def host_centrality_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host_id, ball0_e, ball1_e, ball2_e, ball3_e, harmonic_e6):
+    HyperBall harmonic centrality over the derived host graph —
+    integer-HLL in-ball estimates at radii 0..T and the harmonic sum
+    ``Σ_t (ball_t - ball_{t-1}) × 1e6 div t``."""
+    out = hyperball_over_edges(_edges(spark, sf_dir))
+    return out.withColumnRenamed("node", "host_id")
 
 
 def _regs_cte(prev: str, name: str) -> str:

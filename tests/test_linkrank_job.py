@@ -120,6 +120,68 @@ def test_host_ranks_match_python_recurrence(spark):
     }
 
 
+def _py_hyperball(edges, radius=3):
+    """Bit-exact twin of the integer HyperBall recurrence over
+    string-host edges (same md5 registers as ops/centrality.py)."""
+    from hashlib import md5
+
+    from pdf_parser_spark.ops.centrality import (
+        ALPHA_DEN, ALPHA_NUM, HC_SCALE, M, P,
+    )
+
+    def h32(s):
+        return int(md5(s.encode()).hexdigest()[:8], 16)
+
+    def est(regs):
+        s = sum(1 << (P - r) for r in regs)
+        return ((ALPHA_NUM * M * M) << P) // (ALPHA_DEN * s)
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    regs = {}
+    for v in nodes:
+        r = [0] * M
+        raw = h32(f"hr|{v}")
+        r[h32(f"hb|{v}") % M] = min(33 - max(raw.bit_length(), 1), P)
+        regs[v] = r
+    in_nbrs = {v: [] for v in nodes}
+    for s, d in edges:
+        in_nbrs[d].append(s)
+    ests = {v: [est(regs[v])] for v in nodes}
+    for _ in range(radius):
+        regs = {
+            v: [
+                max(regs[v][b], *[regs[u][b] for u in in_nbrs[v]] or [0])
+                for b in range(M)
+            ]
+            for v in nodes
+        }
+        for v in nodes:
+            ests[v].append(est(regs[v]))
+    return {
+        v: sum(
+            ((e[t] - e[t - 1]) * HC_SCALE) // t
+            for t in range(1, radius + 1)
+        )
+        for v, e in ests.items()
+    }
+
+
+def test_host_ranks_harmonic_matches_python_twin(spark):
+    pages = _pages(spark)
+    edges = sorted(
+        {(r.src, r.dst) for r in host_edges(pages).collect()}
+    )
+    expected = _py_hyperball(edges)
+    got = {
+        r.host: r.harmonic_e6
+        for r in host_ranks(pages, harmonic=True).collect()
+    }
+    assert got == expected
+    # pagerank columns survive the harmonic join
+    cols = host_ranks(pages, harmonic=True).columns
+    assert cols == ["host", "pagerank_e9", "out_degree", "harmonic_e6"]
+
+
 def test_outlink_hosts_total_on_hostile_markup():
     """Totality: arbitrary markup and hostile hrefs must never raise
     (the UDF runs inside the extraction envelope where a raised row
