@@ -222,21 +222,32 @@ def with_host_rank(curated: DataFrame, ranks: DataFrame) -> DataFrame:
     """Attach each row's host authority (jobs/linkrank.py output) as
     ``host_rank_e9``; hosts absent from the rank table get 0.  A pure
     quality-prior column for downstream corpus mixing — never drops
-    rows.
+    rows.  When the rank table carries ``harmonic_e6`` (linkrank
+    ``--harmonic``), it passes through as ``host_harmonic_e6`` under
+    the same absent-host-gets-0 rule.
 
     Scale: the rank table is O(hosts) — broadcast onto the curated
     frame; the host key derives from ``url`` in the scan projection.
     """
-    rank_cols = ranks.selectExpr("host AS _rh", "pagerank_e9 AS _rpr")
-    return (
+    has_harmonic = "harmonic_e6" in ranks.columns
+    exprs = ["host AS _rh", "pagerank_e9 AS _rpr"]
+    if has_harmonic:
+        exprs.append("harmonic_e6 AS _rhc")
+    rank_cols = ranks.selectExpr(*exprs)
+    out = (
         curated.withColumn("_host", F.expr("parse_url(url, 'HOST')"))
         .join(F.broadcast(rank_cols), F.col("_host") == F.col("_rh"), "left")
         .withColumn(
             "host_rank_e9",
             F.coalesce(F.col("_rpr"), F.lit(0).cast("long")),
         )
-        .drop("_host", "_rh", "_rpr")
     )
+    if has_harmonic:
+        out = out.withColumn(
+            "host_harmonic_e6",
+            F.coalesce(F.col("_rhc"), F.lit(0).cast("long")),
+        )
+    return out.drop("_host", "_rh", "_rpr", "_rhc")
 
 
 def main() -> None:

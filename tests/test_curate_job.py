@@ -138,3 +138,30 @@ def test_with_host_rank_attaches_authority_prior(spark):
     )
     rows0 = with_host_rank(curated, empty).select("host_rank_e9").collect()
     assert all(r.host_rank_e9 == 0 for r in rows0)
+
+
+def test_with_host_rank_passes_harmonic_through(spark):
+    """A rank table from linkrank --harmonic also contributes
+    host_harmonic_e6 (absent hosts get 0); without the column the
+    curated schema is unchanged."""
+    from jobs.curate import with_host_rank
+
+    extracted = run_extract(_pages(spark))
+    curated, _ = curate(extracted)
+
+    with_h = spark.createDataFrame(
+        [("t", 123456789, 4, 2500000)],
+        "host string, pagerank_e9 long, out_degree long, harmonic_e6 long",
+    )
+    got = with_host_rank(curated, with_h)
+    rows = got.select("host_rank_e9", "host_harmonic_e6").collect()
+    assert all(
+        r.host_rank_e9 == 123456789 and r.host_harmonic_e6 == 2500000
+        for r in rows
+    )
+
+    without = spark.createDataFrame(
+        [("t", 123456789, 4)],
+        "host string, pagerank_e9 long, out_degree long",
+    )
+    assert "host_harmonic_e6" not in with_host_rank(curated, without).columns
