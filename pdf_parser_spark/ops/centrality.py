@@ -157,10 +157,12 @@ def _regs_cte(prev: str, name: str) -> str:
 
 def _est_cte(regs: str, name: str, out: str) -> str:
     num = (ALPHA_NUM * M * M) << P
+    # sum(BIGINT) is HUGEINT in DuckDB — cast back so the driver's
+    # dtype compare sees the same BIGINT as Spark's sum(LONG)
     return f"""{name} AS (
   SELECT n.node,
-         {num}::BIGINT // ({ALPHA_DEN} * sum(
-           1::BIGINT << (({P} - coalesce(r.r, 0))::INT))) AS {out}
+         ({num}::BIGINT // ({ALPHA_DEN} * sum(
+           1::BIGINT << (({P} - coalesce(r.r, 0))::INT))))::BIGINT AS {out}
   FROM nodes n CROSS JOIN buckets b
   LEFT JOIN {regs} r ON r.node = n.node AND r.bucket = b.bucket
   GROUP BY 1
@@ -202,7 +204,8 @@ def _hyperball_sql() -> str:
     with_block = ",\n".join(ctes)
     return (
         f"\nWITH {with_block}\n"
-        f"SELECT node AS host_id, {balls}, {harmonic} AS harmonic_e6\n"
+        f"SELECT node AS host_id, {balls},"
+        f" ({harmonic})::BIGINT AS harmonic_e6\n"
         f"FROM est0 {joins}\n"
     )
 
