@@ -129,13 +129,30 @@ BENCH_OPS = [
 
 def host_probe(n: int = 32) -> dict:
     """Measure the host's ACTUAL parallel capacity (single-core vs
-    n-core-aggregate zlib throughput).  The sandbox VM has epochs of
-    heavy host contention where aggregate 32-core throughput drops to
-    ~30% of 32x single-core — during such an epoch a 4x core scaling
-    is physically impossible, so the scaling bench records the probe
-    alongside its numbers and retries the noisy leg across spaced
-    trials (steal noise only ever reduces throughput, so
-    best-over-trials estimates the intrinsic job scaling).
+    n-core-aggregate zlib throughput), with TWO working-set sizes that
+    separate the two physical limiters:
+
+    - ``parallel_capacity_frac`` — 1 MiB buffers (the original probe).
+      At n=32 this streams ~27 GB/s of decompressed output, which
+      SATURATES THIS BOX'S DRAM (~12 GB/s ceiling measured on an idle
+      host: busy-loop capacity 0.945, 1 MiB zlib capacity 0.483).  So
+      at full width this metric is a combined CPU+memory-bandwidth
+      deliverability number whose idle-host maximum is ~0.48 — it can
+      NEVER read 0.8 at n=32 regardless of contention.  It remains
+      useful (a) at n<=8, where the stream fits under the bandwidth
+      ceiling and the frac really is CPU deliverability, and (b) as a
+      continuity series vs rounds 1-5's recorded probes.
+    - ``cpu_capacity_frac`` — 64 KiB buffers (cache-resident, ~0.9 on
+      an idle host at n=32).  This isolates CPU-core deliverability
+      from the shared memory bus and is the right gate for "is a
+      hypervisor-steal epoch in progress".
+
+    Epochs where cpu_capacity_frac itself drops well below ~0.85 are
+    genuine steal/contention; a 4x core scaling is physically
+    impossible during one, so the scaling bench records both numbers
+    alongside its legs and retries noisy legs across spaced trials
+    (steal only ever reduces throughput, so best-over-trials estimates
+    the intrinsic job scaling).
 
     ``n`` < 32 probes only the SMALL-leg footprint: a steal epoch that
     caps the box at ~13 core-equivalents can still deliver 8 honest
@@ -144,10 +161,10 @@ def host_probe(n: int = 32) -> dict:
     import multiprocessing as mp
     import zlib
 
-    data = bytes(range(256)) * 4096
-    comp = zlib.compress(data, 6)
+    def mk(kib: int) -> bytes:
+        return zlib.compress(bytes(range(256)) * (kib * 4), 6)
 
-    def one(dur: float) -> float:
+    def one(comp: bytes, dur: float) -> float:
         t0 = time.time()
         k = 0
         while time.time() - t0 < dur:
@@ -155,21 +172,27 @@ def host_probe(n: int = 32) -> dict:
             k += 1
         return k / (time.time() - t0)
 
-    def worker(q):
-        q.put(one(2.0))
+    def measure(comp: bytes, dur: float) -> tuple[float, float]:
+        def worker(q):
+            q.put(one(comp, dur))
 
-    single = one(2.0)
-    q = mp.Queue()
-    ps = [mp.Process(target=worker, args=(q,)) for _ in range(n)]
-    for p in ps:
-        p.start()
-    agg = sum(q.get() for _ in ps)
-    for p in ps:
-        p.join()
+        single = one(comp, dur)
+        q = mp.Queue()
+        ps = [mp.Process(target=worker, args=(q,)) for _ in range(n)]
+        for p in ps:
+            p.start()
+        agg = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return single, agg
+
+    single, agg = measure(mk(1024), 2.0)
+    cpu_single, cpu_agg = measure(mk(64), 1.0)
     out = {
         "single_core_ops": round(single, 1),
         f"agg{n}_ops": round(agg, 1),
         "parallel_capacity_frac": round(agg / (n * single), 3),
+        "cpu_capacity_frac": round(cpu_agg / (n * cpu_single), 3),
     }
     if n != 32:
         out["probe_width"] = n
@@ -490,7 +513,9 @@ def main():
             eff = (results[8]["docs_per_sec"]
                    / results[2]["docs_per_sec"]) / 4.0
             post = host_probe()
-            if eff >= 0.8 and post["parallel_capacity_frac"] >= 0.8:
+            # gate on the cache-resident CPU frac: the 1 MiB frac is
+            # DRAM-capped at ~0.48 at width 32 even on an idle host
+            if eff >= 0.8 and post["cpu_capacity_frac"] >= 0.8:
                 break
             time.sleep(60)
             r8 = run_cluster(8)
@@ -559,7 +584,7 @@ def main():
             eff = (results[big]["docs_per_sec"]
                    / results[small]["docs_per_sec"]) / 4.0
             post = host_probe(8)
-            if eff >= 0.8 and post["parallel_capacity_frac"] >= 0.8:
+            if eff >= 0.8 and post["cpu_capacity_frac"] >= 0.8:
                 break
             time.sleep(30)
             rb = run_leg(big)
@@ -613,7 +638,10 @@ def main():
             eff = (results[32]["docs_per_sec"]
                    / results[8]["docs_per_sec"]) / 4.0
             probes.append(host_probe())
-            if eff >= 0.8 and probes[-1]["parallel_capacity_frac"] >= 0.8:
+            # cpu_capacity_frac, not the 1 MiB frac: at width 32 the
+            # latter is DRAM-bandwidth-capped at ~0.48 on an IDLE host
+            # (measured 2026-08-20), so it can never pass a 0.8 gate
+            if eff >= 0.8 and probes[-1]["cpu_capacity_frac"] >= 0.8:
                 break
             time.sleep(60)
             r32 = run_one(32)
@@ -684,7 +712,7 @@ def main():
     # regression — the probe in the JSON lets rounds be compared
     # honestly); if the epoch is badly contended, wait once and retry
     probe = host_probe()
-    if probe["parallel_capacity_frac"] < 0.7:
+    if probe["cpu_capacity_frac"] < 0.7:
         time.sleep(60)
         probe = host_probe()
 

@@ -5,6 +5,15 @@ to 0.18-0.35 of 32x single-core while loadavg is ~0). The north rule's
 >=0.8 efficiency at 8->32 cores is physically unmeasurable during such
 an epoch, so this watcher probes every PERIOD seconds and fires
 ``bench.py --scaling`` the moment capacity crosses THRESHOLD, skipping
+
+IMPORTANT (found 2026-08-20, final round): the ORIGINAL 1 MiB-buffer
+width-32 probe is DRAM-bandwidth-bound by its own workload — on a
+measurably idle host (32-wide busy-loop efficiency 0.945) it still
+reads only ~0.48, so the full-leg gate below could literally never
+fire on this box.  The gate now uses ``cpu_capacity_frac`` (64 KiB
+cache-resident buffers, ~0.9 idle), which isolates CPU deliverability
+from the shared memory bus; ``parallel_capacity_frac`` is still
+recorded for continuity with rounds 1-5's probe series.
 any window where the foreground session holds LOCK (its own Spark jobs
 would poison the probe).  Every probe and every attempt is appended to
 ``scaling_watch.jsonl`` so the hunt itself is evidence.
@@ -63,7 +72,12 @@ def probes_ok(out: dict, floor: float = 0.6) -> bool:
               or k == "final_probe8"]
     probes = [p for p in probes if isinstance(p, dict)]
     probes += [p for p in out.get("host_probes", []) if isinstance(p, dict)]
-    fracs = [p.get("parallel_capacity_frac", 0.0) for p in probes]
+    # prefer the cache-resident CPU frac (new probes); fall back to
+    # the 1 MiB frac for artifacts banked before it existed — those
+    # were all width-8 probes, where the 1 MiB stream is under the
+    # DRAM ceiling and the two metrics agree
+    fracs = [p.get("cpu_capacity_frac", p.get("parallel_capacity_frac", 0.0))
+             for p in probes]
     return bool(fracs) and min(fracs) >= floor
 
 
@@ -158,12 +172,12 @@ while time.time() < DEADLINE:
             except OSError:
                 pass
 
-    if p["parallel_capacity_frac"] < th:
+    if p["cpu_capacity_frac"] < th:
         time.sleep(PERIOD)
         continue
     if os.path.exists(LOCK):
         continue
-    log({"kind": "fire", "capacity": p["parallel_capacity_frac"]})
+    log({"kind": "fire", "capacity": p["cpu_capacity_frac"]})
     open(LOCK, "w").write("scaling_watch")
     try:
         done = True

@@ -35,3 +35,16 @@ def test_probes_ok_requires_all_legs_quiet():
     # no probes at all -> untrusted
     assert not ok({})
     assert not ok({"host_probes": []})
+
+
+def test_probes_ok_prefers_cpu_frac_over_dram_capped_frac():
+    """The idle-host signature at width 32 is cpu_capacity_frac ~0.9
+    with parallel_capacity_frac ~0.48 (the 1 MiB probe saturates this
+    box's DRAM by itself) — such a window IS quiet and must be
+    trusted; and a genuinely stolen window (cpu frac low) must not be
+    rescued by a coincidentally-ok 1 MiB frac."""
+    ok = _probes_ok()
+    idle32 = {"parallel_capacity_frac": 0.48, "cpu_capacity_frac": 0.9}
+    stolen = {"parallel_capacity_frac": 0.65, "cpu_capacity_frac": 0.3}
+    assert ok({"host_probes": [idle32, idle32]})
+    assert not ok({"host_probes": [idle32, stolen]})
