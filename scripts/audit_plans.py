@@ -469,6 +469,27 @@ def main() -> None:
     )
     spark.catalog.clearCache()
 
+    # 4ah. dedup_canonical: the per-cluster winner is a struct-max
+    # AGGREGATE (map-side combinable partial_max below the exchange),
+    # never a sort+Window over every (doc, cluster) row; the selection
+    # stage adds NO Python of its own (the only Arrow UDF in the plan
+    # is the upstream pair generator's shingle_hashes, reprinted under
+    # the cached cluster relation) and no row-at-a-time Python exists
+    # anywhere; no cartesian
+    from pdf_parser_spark.ops.canonical import dedup_canonical
+
+    p = plan_of(dedup_canonical(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("canonical-argmax-partial-agg-no-window",
+         "partial_max" in p
+         and "Window" not in p
+         and "CartesianProduct" not in p
+         and "BatchEvalPython" not in p
+         and all("shingle_hashes" in seg[:200]
+                 for seg in p.split("ArrowEvalPython ")[1:]))
+    )
+    spark.catalog.clearCache()
+
     # 5. arrow batch size applied
     checks.append(
         (
