@@ -54,6 +54,7 @@ BENCH_OPS = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_cluster",
+    "dedup_canonical",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "text_token_stats",

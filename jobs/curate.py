@@ -9,8 +9,9 @@ over it —
                                  pure codegen — ops/textstats semantics)
   3. exact dedup                (md5 groupBy, keep min url)
   4. near-dup collapse          (banded MinHash-LSH over h32 shingles,
-                                 keep the band-bucket's min url —
-                                 bucketed, never all-pairs)
+                                 keep the band-bucket's BEST-quality
+                                 member, ties to min url — FineWeb
+                                 keep-best; bucketed, never all-pairs)
   5. repeated-span strip        (cross-document repeated >=8-token
                                  spans blanked from every carrier —
                                  ops/substring.py machinery; rows are
@@ -72,23 +73,39 @@ def exact_dedup(df: DataFrame, text_col: str = "text_extracted") -> DataFrame:
 
 
 def neardup_collapse(df: DataFrame, text_col: str = "text_extracted") -> DataFrame:
-    """Stage 4: banded MinHash-LSH collapse, keep min url per bucket.
+    """Stage 4: banded MinHash-LSH collapse, keep the BEST-quality
+    member per bucket (FineWeb-style keep-best; ties break to min
+    url), i.e. the dedup_canonical policy applied at the job layer.
 
     Reuses the oracle-verified signature machinery from ops/dedup.py
     (Arrow numpy UDF — the interpreted-HOF spelling measured ~50x
-    slower there).  Scale shape (PLANS.md §5): only ``(url, band
-    keys)`` ever shuffle — never text; a near-dup group shares at
-    least one band bucket, and the keeper rule (a doc survives only
-    if it is the min url of its bucket in EVERY band) removes one
-    side of every detected pair deterministically.  Docs too short to
-    shingle pass through untouched.
+    slower there) and the shared quality formula from ops/textstats
+    (scan-local codegen, integer-scaled so the arg-max is exact).
+    Scale shape (PLANS.md §5): only ``(url, q_int, band keys)`` ever
+    shuffle — never text; a near-dup group shares at least one band
+    bucket, and the keeper rule (a doc survives only if it wins its
+    bucket in EVERY band) removes one side of every detected pair
+    deterministically.  Docs too short to shingle pass through
+    untouched.
     """
+    from pdf_parser_spark.ops.common import tokens
     from pdf_parser_spark.ops.dedup import LSH_BANDS, LSH_ROWS, _make_sig_udf
+    from pdf_parser_spark.ops.textstats import quality_features
 
     sig_udf = _make_sig_udf()
+    tok = tokens(F.col(text_col))
+    stop_ratio, diversity, length_sat = quality_features(tok)
+    q_int = F.floor(
+        (0.4 * stop_ratio + 0.3 * diversity + 0.3 * length_sat) * 10000.0
+        + 0.5
+    ).cast("long")
     # persist is load-bearing (CollapseProject would re-run the UDF
     # per band key and join side — measured ~10x in ops/dedup.py)
-    sig = df.select("url", sig_udf(F.col(text_col)).alias("_sig")).persist()
+    sig = df.select(
+        "url",
+        (-q_int).alias("_nq"),
+        sig_udf(F.col(text_col)).alias("_sig"),
+    ).persist()
     try:
         banded = sig.filter(F.size("_sig") >= 1)
         band_cols = [
@@ -101,10 +118,14 @@ def neardup_collapse(df: DataFrame, text_col: str = "text_extracted") -> DataFra
             ).alias(f"_band{b}")
             for b in range(LSH_BANDS)
         ]
-        keyed = banded.select("url", *band_cols)
+        keyed = banded.select("url", "_nq", *band_cols)
         keep = None
         for b in range(LSH_BANDS):
-            kb = keyed.groupBy(f"_band{b}").agg(F.min("url").alias("_ku"))
+            # arg-max quality (min of (-q, url)) is a partial-aggregable
+            # min_by — map-side combine, same shape as the old min(url)
+            kb = keyed.groupBy(f"_band{b}").agg(
+                F.min_by("url", F.struct("_nq", "url")).alias("_ku")
+            )
             ok = (
                 keyed.select("url", f"_band{b}")
                 .join(kb, f"_band{b}")

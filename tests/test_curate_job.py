@@ -1,6 +1,7 @@
 """End-to-end curation funnel over extracted pages: decode-error
 drop, quality floor, exact dedup (min-url keeper), MinHash-LSH
-near-dup collapse, and the funnel lineage report."""
+near-dup collapse (keep-BEST-quality member, ties to min url), and
+the funnel lineage report."""
 
 import datetime
 
@@ -63,7 +64,11 @@ def test_curate_funnel(spark):
     urls = {r.url for r in curated.select("url").collect()}
 
     assert "https://t/dup-a" in urls and "https://t/dup-b" not in urls
-    assert "https://t/near-a" in urls and "https://t/near-b" not in urls
+    # keep-best policy: near-b is near-a minus one token — same 49-word
+    # vocabulary over 359 instead of 360 tokens, so its lexical
+    # diversity (and thus quality) is strictly higher and IT is the
+    # canonical survivor (the old min-url keeper kept near-a)
+    assert "https://t/near-b" in urls and "https://t/near-a" not in urls
     assert "https://t/unique" in urls
     assert "https://t/short" not in urls
     assert "https://t/broken" not in urls
@@ -73,7 +78,7 @@ def test_curate_funnel(spark):
     assert stages["decoded"] == 6        # broken dropped
     assert stages["quality"] == 5        # short dropped
     assert stages["exact_dedup"] == 4    # dup-b dropped
-    assert stages["near_dedup"] == 3     # near-b dropped
+    assert stages["near_dedup"] == 3     # near-a dropped (keep-best)
     assert stages["span_dedup"] == 3     # transform stage: no drops
     # funnel is monotone non-increasing
     rows = [f["rows"] for f in funnel]
