@@ -55,6 +55,7 @@ BENCH_OPS = [
     "dedup_embedding_cosine",
     "dedup_cluster",
     "dedup_canonical",
+    "filter_overlap_matrix",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "text_token_stats",

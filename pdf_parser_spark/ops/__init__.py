@@ -17,6 +17,7 @@ Registry contract: every module exposes ``QUERIES: dict[name ->
 
 def all_queries():
     from pdf_parser_spark.ops import (
+        ablation,
         assembly,
         avmeta,
         blocklist,
@@ -61,13 +62,14 @@ def all_queries():
     # 5: the r3-certified group (webcorpus .. curation, untouched
     # since their r3 rows) re-enters first; then the new r5 modules
     # (semantic, pdfimages, avmeta; incnear + drift + overlap +
-    # blocklist + centrality + canonical added mid-round) and the
-    # r5-touched ones (multimodal's frame_sample container branch,
-    # filtering's PSL rules file); dedup/textstats pad the window to
-    # exactly 48 — the six insertions push text_quality_score,
-    # text_lang_id, text_fingerprint, text_repetition, text_entropy,
-    # dedup_containment and ann_cosine_topk (all r4-certified, source
-    # unchanged) just past the boundary;
+    # blocklist + centrality + canonical + ablation added mid-round)
+    # and the r5-touched ones (multimodal's frame_sample container
+    # branch, filtering's PSL rules file); dedup/textstats pad the
+    # window to exactly 48 — the seven insertions push text_bpe_tokens,
+    # text_quality_score, text_lang_id, text_fingerprint,
+    # text_repetition, text_entropy, dedup_containment and
+    # ann_cosine_topk (all r4-certified, source unchanged) just past
+    # the boundary;
     # everything past it holds green r4 rows and is source-unchanged
     # this round.
     out = {}
@@ -89,6 +91,7 @@ def all_queries():
         blocklist,
         centrality,
         canonical,
+        ablation,
         multimodal,
         filtering,
         dedup,
