@@ -490,6 +490,21 @@ def main() -> None:
     )
     spark.catalog.clearCache()
 
+    # 4ai. filter_overlap_matrix: all pairwise joint counts live in ONE
+    # partial-aggregated conditional-sum reduce (no filter-to-filter
+    # join, no cartesian); the only non-equi join in the whole plan is
+    # ccnet's sanctioned 1-row percentile cross
+    from pdf_parser_spark.ops.ablation import filter_overlap_matrix
+
+    p = plan_of(filter_overlap_matrix(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("ablation-single-partial-agg-reduce",
+         "partial_sum" in p
+         and "CartesianProduct" not in p
+         and p.count("BroadcastNestedLoopJoin") <= 1)
+    )
+    spark.catalog.clearCache()
+
     # 5. arrow batch size applied
     checks.append(
         (
