@@ -56,6 +56,8 @@ BENCH_OPS = [
     "dedup_cluster",
     "dedup_canonical",
     "filter_overlap_matrix",
+    "winnow_fingerprint",
+    "winnow_span_candidates",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "text_token_stats",

@@ -51,6 +51,7 @@ def all_queries():
         temporal,
         textstats,
         webcorpus,
+        winnow,
     )
 
     # Module order is load-bearing: the driver's CORRECTNESS pass
@@ -62,14 +63,14 @@ def all_queries():
     # 5: the r3-certified group (webcorpus .. curation, untouched
     # since their r3 rows) re-enters first; then the new r5 modules
     # (semantic, pdfimages, avmeta; incnear + drift + overlap +
-    # blocklist + centrality + canonical + ablation added mid-round)
-    # and the r5-touched ones (multimodal's frame_sample container
-    # branch, filtering's PSL rules file); dedup/textstats pad the
-    # window to exactly 48 — the seven insertions push text_bpe_tokens,
-    # text_quality_score, text_lang_id, text_fingerprint,
-    # text_repetition, text_entropy, dedup_containment and
-    # ann_cosine_topk (all r4-certified, source unchanged) just past
-    # the boundary;
+    # blocklist + centrality + canonical + ablation + winnow (2 ops)
+    # added mid-round) and the r5-touched ones (multimodal's
+    # frame_sample container branch, filtering's PSL rules file);
+    # dedup pads the window to exactly 48 — the nine insertions push
+    # dedup_cluster (oracle-exercised in-window anyway through
+    # dedup_canonical's full chain), the whole textstats family,
+    # dedup_containment and ann_cosine_topk (all r4-certified, source
+    # unchanged) just past the boundary;
     # everything past it holds green r4 rows and is source-unchanged
     # this round.
     out = {}
@@ -92,6 +93,7 @@ def all_queries():
         centrality,
         canonical,
         ablation,
+        winnow,
         multimodal,
         filtering,
         dedup,
