@@ -128,6 +128,9 @@ BENCH_OPS = [
     "sketch_overlap",
     "url_blocklist_filter",
     "host_centrality_hyperball",
+    "url_spam_score",
+    "text_script_detect",
+    "host_template_prefix",
 ]
 
 

@@ -40,9 +40,12 @@ def all_queries():
         multimodal,
         overlap,
         pdfimages,
+        scriptmix,
         selection,
         semantic,
         sketches,
+        template,
+        urlquality,
         splits,
         pipeline,
         recrawl,
@@ -64,13 +67,15 @@ def all_queries():
     # since their r3 rows) re-enters first; then the new r5 modules
     # (semantic, pdfimages, avmeta; incnear + drift + overlap +
     # blocklist + centrality + canonical + ablation + winnow (2 ops)
-    # added mid-round) and the r5-touched ones (multimodal's
-    # frame_sample container branch, filtering's PSL rules file);
-    # dedup pads the window to exactly 48 — the nine insertions push
-    # dedup_cluster (oracle-exercised in-window anyway through
-    # dedup_canonical's full chain), the whole textstats family,
-    # dedup_containment and ann_cosine_topk (all r4-certified, source
-    # unchanged) just past the boundary;
+    # + urlquality + scriptmix + template added mid-round) and the
+    # r5-touched ones (multimodal's frame_sample container branch,
+    # filtering's PSL rules file);
+    # dedup pads the window to exactly 48 — the twelve insertions push
+    # dedup_simhash/ngram_jaccard/embedding_cosine, dedup_cluster
+    # (oracle-exercised in-window anyway through dedup_canonical's
+    # full chain), the whole textstats family, dedup_containment and
+    # ann_cosine_topk (all r4-certified, source unchanged) just past
+    # the boundary;
     # everything past it holds green r4 rows and is source-unchanged
     # this round.
     out = {}
@@ -94,6 +99,9 @@ def all_queries():
         canonical,
         ablation,
         winnow,
+        urlquality,
+        scriptmix,
+        template,
         multimodal,
         filtering,
         dedup,

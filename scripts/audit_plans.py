@@ -505,6 +505,37 @@ def main() -> None:
     )
     spark.catalog.clearCache()
 
+    # 4aj. url_spam_score and text_script_detect are pure scan-local
+    # projections: zero exchanges, zero Python, at any corpus size
+    from pdf_parser_spark.ops.scriptmix import text_script_detect
+    from pdf_parser_spark.ops.urlquality import url_spam_score
+
+    p = plan_of(url_spam_score(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("urlquality-scan-local",
+         "Exchange" not in p and "Python" not in p)
+    )
+    p = plan_of(text_script_detect(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("scriptmix-scan-local",
+         "Exchange" not in p and "Python" not in p)
+    )
+
+    # 4ak. host_template_prefix: the single exchange carries the
+    # capped prefix, never the text column (projected before the
+    # partial min/max aggregate — document bodies must not shuffle)
+    from pdf_parser_spark.ops.template import host_template_prefix
+
+    p = plan_of(host_template_prefix(spark, "/root/testdata/sf0.001"))
+    ex_seg = p.split("Exchange hashpartitioning")[-1][:400] if (
+        "Exchange hashpartitioning" in p) else ""
+    checks.append(
+        ("template-prefix-narrow",
+         p.count("Exchange") == 1
+         and "partial_min" in p
+         and "text#" not in ex_seg)
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (
