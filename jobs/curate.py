@@ -4,19 +4,22 @@ The glue the reference never had: after `jobs/extract.py` lands the
 extracted table, this job runs the standard webtext curation funnel
 over it —
 
-  1. decode-error drop          (row-level errors never poison the mix)
-  2. quality floor              (token count + stopword/alpha ratios,
+  1. URL admission              (structural spam score over the url
+                                 column — ops/urlquality semantics;
+                                 scan-local, runs before everything)
+  2. decode-error drop          (row-level errors never poison the mix)
+  3. quality floor              (token count + stopword/alpha ratios,
                                  pure codegen — ops/textstats semantics)
-  3. exact dedup                (md5 groupBy, keep min url)
-  4. near-dup collapse          (banded MinHash-LSH over h32 shingles,
+  4. exact dedup                (md5 groupBy, keep min url)
+  5. near-dup collapse          (banded MinHash-LSH over h32 shingles,
                                  keep the band-bucket's BEST-quality
                                  member, ties to min url — FineWeb
                                  keep-best; bucketed, never all-pairs)
-  5. repeated-span strip        (cross-document repeated >=8-token
+  6. repeated-span strip        (cross-document repeated >=8-token
                                  spans blanked from every carrier —
                                  ops/substring.py machinery; rows are
                                  transformed, never dropped)
-  6. funnel lineage             (per-stage row counts + per-source
+  7. funnel lineage             (per-stage row counts + per-source
                                  composition, written next to the data)
 
 and writes a training-ready parquet table bucketed-ready on url.
@@ -50,8 +53,21 @@ MIN_ALPHA_RATIO = 0.5   # alpha-bearing token fraction floor
 # near-dup stage: shingle width / bands / rows come from ops.dedup
 
 
+def url_admission(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Stage 1: drop structurally-spammy URLs (ID-farm paths, keyword
+    chains, parameter farms — the oracle-verified
+    ops/urlquality.py scorer applied to the REAL url column).  Pure
+    scan-local codegen projection: Catalyst collapses it into the
+    input scan, zero shuffle, which is why it runs before everything
+    else — RefinedWeb-style URL filtering ahead of any content
+    stage."""
+    from pdf_parser_spark.ops.urlquality import spam_feature_cols
+
+    return df.filter(spam_feature_cols(F.col(url_col))["admitted"])
+
+
 def quality_floor(df: DataFrame, text_col: str = "text_extracted") -> DataFrame:
-    """Stage 2: drop rows under the token-count / alpha-ratio floor
+    """Stage 3: drop rows under the token-count / alpha-ratio floor
     (pure codegen; same signal family as ops.textstats.quality)."""
     tok = tokens(F.col(text_col))
     n = F.size(tok)
@@ -63,7 +79,7 @@ def quality_floor(df: DataFrame, text_col: str = "text_extracted") -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text_extracted") -> DataFrame:
-    """Stage 3: one md5 shuffle; the keeper is the min url per digest
+    """Stage 4: one md5 shuffle; the keeper is the min url per digest
     (deterministic, resume-stable)."""
     keyed = df.withColumn("_md5", F.md5(F.col(text_col).cast("binary")))
     keepers = keyed.groupBy("_md5").agg(F.min("url").alias("_keep_url"))
@@ -73,7 +89,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text_extracted") -> DataFrame:
 
 
 def neardup_collapse(df: DataFrame, text_col: str = "text_extracted") -> DataFrame:
-    """Stage 4: banded MinHash-LSH collapse, keep the BEST-quality
+    """Stage 5: banded MinHash-LSH collapse, keep the BEST-quality
     member per bucket (FineWeb-style keep-best; ties break to min
     url), i.e. the dedup_canonical policy applied at the job layer.
 
@@ -147,7 +163,7 @@ def neardup_collapse(df: DataFrame, text_col: str = "text_extracted") -> DataFra
 def strip_repeated_spans(
     df: DataFrame, text_col: str = "text_extracted", id_col: str = "url"
 ) -> DataFrame:
-    """Stage 5: blank cross-document repeated spans (Lee et al.
+    """Stage 6: blank cross-document repeated spans (Lee et al.
     ACL'22 exact-substring dedup at the n-gram anchor —
     ops/substring.py documents the exactness argument) from EVERY
     carrier row.  Rows are transformed, never dropped; ``_n_tok`` is
@@ -231,7 +247,11 @@ def curate(extracted: DataFrame) -> tuple[DataFrame, list[dict]]:
         return frame
 
     s0 = stage("input", extracted, persist=False)
-    s1 = stage("decoded", s0.filter(F.col("decode_error").isNull()))
+    # URL admission runs FIRST: the cheapest filter in the funnel (a
+    # scan-local projection over the url column, zero shuffle), so
+    # structurally-spammy pages never reach the content stages.
+    sA = stage("url_admitted", url_admission(s0))
+    s1 = stage("decoded", sA.filter(F.col("decode_error").isNull()))
     s2 = stage("quality", quality_floor(s1))
     s3 = stage("exact_dedup", exact_dedup(s2))
     s4 = stage("near_dedup", neardup_collapse(s3))

@@ -112,12 +112,11 @@ def _count_class(url: F.Column, pattern: str) -> F.Column:
     )
 
 
-def url_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, url, url_len, n_digits, digit_ppm, n_hyphens,
-    n_params, path_depth, long_digit_run, spam_score, admitted):
-    structural URL spam features + integer score, RefinedWeb-style."""
-    urls = _urls(spark, sf_dir)
-    url = F.col("url")
+def spam_feature_cols(url: F.Column) -> dict[str, F.Column]:
+    """The structural feature + score columns over ANY url column —
+    the reusable core consumed both by the oracled op (derived urls)
+    and by jobs/curate.py's admission stage (real crawl urls).  All
+    scan-local codegen; safe to project anywhere."""
     url_len = F.length(url).cast("long")
     n_digits = _count_class(url, "[0-9]")
     digit_ppm = (n_digits * 1_000_000 / url_len).cast("long")
@@ -134,18 +133,29 @@ def url_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(path_depth >= DEPTH_MIN, 1).otherwise(0)
         + F.when(url_len >= LEN_MIN, 1).otherwise(0)
     ).cast("long")
+    return {
+        "url_len": url_len,
+        "n_digits": n_digits,
+        "digit_ppm": digit_ppm,
+        "n_hyphens": n_hyphens,
+        "n_params": n_params,
+        "path_depth": path_depth,
+        "long_digit_run": long_run,
+        "spam_score": score,
+        "admitted": score < ADMIT_BELOW,
+    }
+
+
+def url_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url, url_len, n_digits, digit_ppm, n_hyphens,
+    n_params, path_depth, long_digit_run, spam_score, admitted):
+    structural URL spam features + integer score, RefinedWeb-style."""
+    urls = _urls(spark, sf_dir)
+    feats = spam_feature_cols(F.col("url"))
     return urls.select(
         "doc_id",
-        url.alias("url"),
-        url_len.alias("url_len"),
-        n_digits.alias("n_digits"),
-        digit_ppm.alias("digit_ppm"),
-        n_hyphens.alias("n_hyphens"),
-        n_params.alias("n_params"),
-        path_depth.alias("path_depth"),
-        long_run.alias("long_digit_run"),
-        score.alias("spam_score"),
-        (score < ADMIT_BELOW).alias("admitted"),
+        "url",
+        *[c.alias(name) for name, c in feats.items()],
     )
 
 

@@ -54,6 +54,12 @@ def _pages(spark):
             b"<html><body><p>too short here</p></body></html>"), "", "en"),
         # decode reject: malformed pdf
         ("https://t/broken", _TS, bytearray(b"%PDF-1.4\ngarbage"), "", "en"),
+        # URL-admission reject: ID-farm path (long digit run + digit
+        # share) — the content itself is clean long html, so only the
+        # url_admission stage can drop it
+        ("https://t/p/920357102968457/item/4459817236", _TS, bytearray(
+            b"<html><body><p>" + _LONG.encode() + b"</p></body></html>"),
+            "", "en"),
     ]
     return spark.createDataFrame(rows, PAGES_STREAM_SCHEMA)
 
@@ -72,9 +78,13 @@ def test_curate_funnel(spark):
     assert "https://t/unique" in urls
     assert "https://t/short" not in urls
     assert "https://t/broken" not in urls
+    # the spam-shaped url carries survivable content; only the
+    # admission stage can reject it
+    assert "https://t/p/920357102968457/item/4459817236" not in urls
 
     stages = {f["stage"]: f["rows"] for f in funnel}
-    assert stages["input"] == 7
+    assert stages["input"] == 8
+    assert stages["url_admitted"] == 7   # ID-farm url dropped
     assert stages["decoded"] == 6        # broken dropped
     assert stages["quality"] == 5        # short dropped
     assert stages["exact_dedup"] == 4    # dup-b dropped
