@@ -131,6 +131,7 @@ BENCH_OPS = [
     "url_spam_score",
     "text_script_detect",
     "host_template_prefix",
+    "bm25_retrieval",
 ]
 
 

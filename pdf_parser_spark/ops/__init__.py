@@ -21,6 +21,7 @@ def all_queries():
         assembly,
         avmeta,
         blocklist,
+        bm25,
         bloom,
         canonical,
         centrality,
@@ -102,6 +103,7 @@ def all_queries():
         urlquality,
         scriptmix,
         template,
+        bm25,
         multimodal,
         filtering,
         dedup,

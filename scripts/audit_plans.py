@@ -536,6 +536,22 @@ def main() -> None:
          and "text#" not in ex_seg)
     )
 
+    # 4al. bm25_retrieval: the query vocabulary, df, and stats frames
+    # are broadcast; the only hash exchanges carry integer posting
+    # rows, never document text; no cartesian beyond the sanctioned
+    # 1-row stats cross
+    from pdf_parser_spark.ops.bm25 import bm25_retrieval
+
+    p = plan_of(bm25_retrieval(spark, "/root/testdata/sf0.001"))
+    ex_segs = [seg[:300] for seg in p.split("Exchange hashpartitioning")[1:]]
+    checks.append(
+        ("bm25-broadcast-query-side",
+         "BroadcastHashJoin" in p
+         and "CartesianProduct" not in p
+         and p.count("BroadcastNestedLoopJoin") <= 1
+         and all("text#" not in seg for seg in ex_segs))
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (
