@@ -132,6 +132,7 @@ BENCH_OPS = [
     "text_script_detect",
     "host_template_prefix",
     "bm25_retrieval",
+    "pmi_top_pairs",
 ]
 
 

@@ -23,6 +23,7 @@ def all_queries():
         blocklist,
         bm25,
         bloom,
+        pmi,
         canonical,
         centrality,
         clustering,
@@ -68,15 +69,14 @@ def all_queries():
     # since their r3 rows) re-enters first; then the new r5 modules
     # (semantic, pdfimages, avmeta; incnear + drift + overlap +
     # blocklist + centrality + canonical + ablation + winnow (2 ops)
-    # + urlquality + scriptmix + template added mid-round) and the
-    # r5-touched ones (multimodal's frame_sample container branch,
-    # filtering's PSL rules file);
-    # dedup pads the window to exactly 48 — the twelve insertions push
-    # dedup_simhash/ngram_jaccard/embedding_cosine, dedup_cluster
-    # (oracle-exercised in-window anyway through dedup_canonical's
-    # full chain), the whole textstats family, dedup_containment and
-    # ann_cosine_topk (all r4-certified, source unchanged) just past
-    # the boundary;
+    # + urlquality + scriptmix + template + bm25 + pmi added
+    # mid-round) and the r5-touched ones (multimodal's frame_sample
+    # container branch, filtering's PSL rules file);
+    # the window now ends at robots_filter — the fourteen insertions
+    # push the whole dedup family, the whole textstats family,
+    # dedup_containment and the ann trio (all r4-certified, source
+    # unchanged; dedup_cluster oracle-exercised in-window anyway
+    # through dedup_canonical's full chain) just past the boundary;
     # everything past it holds green r4 rows and is source-unchanged
     # this round.
     out = {}
@@ -104,6 +104,7 @@ def all_queries():
         scriptmix,
         template,
         bm25,
+        pmi,
         multimodal,
         filtering,
         dedup,

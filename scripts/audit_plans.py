@@ -552,6 +552,21 @@ def main() -> None:
          and all("text#" not in seg for seg in ex_segs))
     )
 
+    # 4am. pmi_top_pairs: support filter applied to the AGGREGATED
+    # pair relation (partial counts below the exchange), top-k as
+    # TakeOrderedAndProject — no global sort, no cartesian beyond the
+    # 1-row totals cross
+    from pdf_parser_spark.ops.pmi import pmi_top_pairs
+
+    p = plan_of(pmi_top_pairs(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("pmi-support-bounded-joins",
+         "partial_count" in p
+         and "TakeOrderedAndProject" in p
+         and "CartesianProduct" not in p
+         and p.count("BroadcastNestedLoopJoin") <= 1)
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (
