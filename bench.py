@@ -133,6 +133,7 @@ BENCH_OPS = [
     "host_template_prefix",
     "bm25_retrieval",
     "pmi_top_pairs",
+    "robots_txt_eval",
 ]
 
 

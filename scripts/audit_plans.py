@@ -567,6 +567,21 @@ def main() -> None:
          and p.count("BroadcastNestedLoopJoin") <= 1)
     )
 
+    # 4an. robots_txt_eval: the parsed rules relation is broadcast to
+    # the fetch log (the parse side is host-grained), the verdict is
+    # one partial-aggregable max, and no Python appears anywhere in
+    # parse, translate, match, or arg-max
+    from pdf_parser_spark.ops.robots import robots_txt_eval
+
+    p = plan_of(robots_txt_eval(spark, "/root/testdata/sf0.001"))
+    checks.append(
+        ("robots-broadcast-rules-argmax",
+         "BroadcastHashJoin" in p
+         and "partial_max" in p
+         and "Python" not in p
+         and "CartesianProduct" not in p)
+    )
+
     # 5. arrow batch size applied
     checks.append(
         (
