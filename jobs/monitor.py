@@ -7,9 +7,16 @@ unchanged), urls not re-crawled within the event-time TTL surface once
 as ``stale``, and the per-url latest verdict is summarized into a
 freshness report — the feed a recrawl scheduler consumes.
 
+``--mode neardup`` runs the OTHER continuous monitor instead:
+:func:`pdf_parser_spark.streaming.neardup.stream_neardup`, the
+MinHash-LSH near-dup admission gate (per-band keeper-signature state,
+TTL-evicted per freshness window), summarized into a per-url
+admission report.
+
 Run:  spark-submit --py-files dist/engine.zip jobs/monitor.py \\
           --input '/path/landing/*/' --output /path/freshness \\
-          --checkpoint /path/freshness-cp --ttl-hours 24
+          --checkpoint /path/freshness-cp --ttl-hours 24 \\
+          [--mode freshness|neardup]
 """
 
 from __future__ import annotations
@@ -31,6 +38,9 @@ def main() -> None:
                     help="streaming checkpoint dir (state store lives here)")
     ap.add_argument("--ttl-hours", type=float, default=24.0,
                     help="event-time freshness window before `stale`")
+    ap.add_argument("--mode", choices=["freshness", "neardup"],
+                    default="freshness",
+                    help="freshness verdicts or near-dup admission")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -43,6 +53,32 @@ def main() -> None:
     )
 
     spark = build_session("pdf-parser-spark-monitor", master=args.master)
+    if args.mode == "neardup":
+        from pdf_parser_spark.streaming.neardup import (
+            admission_report,
+            stream_neardup,
+        )
+
+        stream_neardup(
+            spark,
+            args.input,
+            args.output,
+            args.checkpoint,
+            ttl_ms=int(args.ttl_hours * 3600 * 1000),
+        )
+        report = admission_report(spark, args.output)
+        report.write.mode("overwrite").parquet(f"{args.output}/latest")
+        n_adm = report.filter("admitted").count()
+        n_all = report.count()
+        summary = {"ttl_hours": args.ttl_hours, "mode": "neardup",
+                   "urls": n_all, "admitted": n_adm,
+                   "near_dups": n_all - n_adm}
+        with open(f"{args.output}/monitor.json", "w") as f:
+            json.dump(summary, f, indent=1)
+        print(json.dumps(summary))
+        spark.stop()
+        return
+
     stream_recrawl(
         spark,
         args.input,

@@ -199,10 +199,21 @@ def stream_neardup(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # Binary payloads (PDFs) must not enter the text path: a strict
+    # decode() throws MALFORMED_CHARACTER_CODING and kills the whole
+    # query, and even the lenient cast leaves invalid bytes that the
+    # Arrow transfer to the signature UDF rejects.  try_validate_utf8
+    # nulls non-UTF8 payloads -> empty text -> empty signature -> the
+    # stateless bypass branch (admitted): binary content is exactly
+    # what the CONTENT-HASH monitor (streaming/dedup.py) covers, not
+    # text LSH.  In the production funnel this monitor consumes the
+    # EXTRACTED-text stream, where the column is already a string.
     pages = reader.parquet(input_path).select(
         "url",
         "warc_ts",
-        F.decode(F.col("html"), "UTF-8").alias("text"),
+        F.expr(
+            "coalesce(try_validate_utf8(cast(html AS string)), '')"
+        ).alias("text"),
     ).withWatermark("warc_ts", "0 seconds")
 
     bands = _banded(pages)

@@ -135,6 +135,33 @@ def test_short_docs_bypass_and_admit(spark, tmp_path_factory):
     assert all(r.band_id == -1 for r in rows)
 
 
+def test_binary_payloads_bypass_instead_of_killing_the_query(
+    spark, tmp_path_factory
+):
+    """A non-UTF8 payload (a PDF) must not fail the stream: strict
+    decode throws MALFORMED_CHARACTER_CODING and even a lenient cast
+    breaks the Arrow transfer into the signature UDF.  Binary docs
+    route to the bypass branch (admitted) — content-hash dedup covers
+    them, text LSH does not."""
+    base = str(tmp_path_factory.mktemp("nd6"))
+    inp, out, cp = f"{base}/in", f"{base}/out", f"{base}/cp"
+    pdf = b"%PDF-1.4\n\x80\x81\xfe\xff binary body \x00\x01"
+    df = spark.createDataFrame(
+        [("pdfdoc", _ts(0), bytearray(pdf), "", "en"),
+         ("textdoc", _ts(0), bytearray(_A.encode()), "", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    df.coalesce(1).write.parquet(f"{inp}/f0")
+    stream_neardup(spark, f"{inp}/*/", out, cp)
+    v = _verdict(spark, out)
+    assert v["pdfdoc"]["admitted"]
+    assert v["textdoc"]["admitted"]
+    rows = spark.read.parquet(f"{out}/verdicts")
+    assert rows.filter(
+        (F.col("url") == "pdfdoc") & (F.col("band_id") == -1)
+    ).count() == 1
+
+
 def test_replay_is_idempotent(spark, tmp_path_factory):
     """Wiping the checkpoint and re-draining the same input must not
     duplicate or flip verdicts (batch_id partitions are overwritten,
