@@ -63,9 +63,19 @@ K1_M = 1200      # k1 = 1.2, scaled by 1000
 B_M = 750        # b = 0.75, scaled by 1000
 
 
-def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_retrieval(
+    spark: SparkSession,
+    sf_dir: str,
+    queries_df: DataFrame | None = None,
+) -> DataFrame:
     """(query_id, doc_id, score_mb, rank): BM25 top-{TOP_K} corpus
-    documents per derived query, scores in integer millibits."""
+    documents per derived query, scores in integer millibits.
+
+    ``queries_df`` is the production swap-in hook (same design as
+    ops/psl.py's ``rules`` and ops/blocklist.py's ``blocklist_rows``):
+    a (query_id: long, term: string) table — benchmark prompts, seed
+    queries — replaces the corpus-derived query set, and the
+    derivation below disappears."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", tokens(F.col("text")).alias("tok")).filter(
         F.size("tok") >= 1
@@ -74,7 +84,7 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("tok")).alias("sum_dl"),
     )
-    qterms = (
+    qterms = queries_df if queries_df is not None else (
         tok.filter(F.col("doc_id") % QUERY_MOD == 0)
         .select(
             F.col("doc_id").alias("query_id"),
