@@ -8,18 +8,22 @@ over it —
                                  column — ops/urlquality semantics;
                                  scan-local, runs before everything)
   2. decode-error drop          (row-level errors never poison the mix)
-  3. quality floor              (token count + stopword/alpha ratios,
+  3. host-template strip        (each host's shared banner — the
+                                 group-LCP of its documents — removed
+                                 before dedup, where it distorts both
+                                 exact and near-dup signals)
+  4. quality floor              (token count + stopword/alpha ratios,
                                  pure codegen — ops/textstats semantics)
-  4. exact dedup                (md5 groupBy, keep min url)
-  5. near-dup collapse          (banded MinHash-LSH over h32 shingles,
+  5. exact dedup                (md5 groupBy, keep min url)
+  6. near-dup collapse          (banded MinHash-LSH over h32 shingles,
                                  keep the band-bucket's BEST-quality
                                  member, ties to min url — FineWeb
                                  keep-best; bucketed, never all-pairs)
-  6. repeated-span strip        (cross-document repeated >=8-token
+  7. repeated-span strip        (cross-document repeated >=8-token
                                  spans blanked from every carrier —
                                  ops/substring.py machinery; rows are
                                  transformed, never dropped)
-  7. funnel lineage             (per-stage row counts + per-source
+  8. funnel lineage             (per-stage row counts + per-source
                                  composition, written next to the data)
 
 and writes a training-ready parquet table bucketed-ready on url.
@@ -66,8 +70,88 @@ def url_admission(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.filter(spam_feature_cols(F.col(url_col))["admitted"])
 
 
+def strip_host_templates(
+    df: DataFrame, text_col: str = "text_extracted", url_col: str = "url"
+) -> DataFrame:
+    """Stage 3: remove each host's shared template banner — the
+    longest common prefix of all the host's documents (the
+    ops/template.py group-LCP machinery applied to real urls).  Rows
+    are transformed, never dropped; ``_template_removed`` records the
+    stripped char count per row.
+
+    Running BEFORE dedup is load-bearing twice over: a host banner
+    repeated verbatim across a site makes unrelated pages LOOK like
+    near-dups (banner shingles dominate short docs), and two hosts
+    mirroring the same body under different banners look UNLIKE
+    exact dups.  Both distortions disappear once the per-host prefix
+    is subtracted.
+
+    Scale shape (PLANS.md §13): one host-grained min/max aggregate
+    over {PREFIX_CAP}-char prefixes (bodies never shuffle), the tiny
+    (host, template) table broadcast back, the strip itself a
+    scan-local substring."""
+    from pdf_parser_spark.ops.template import (
+        MIN_DOCS,
+        PREFIX_CAP,
+        TEMPLATE_MIN_LEN,
+        group_lcp,
+    )
+
+    host = F.regexp_extract(
+        F.col(url_col), "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1
+    )
+    pre = df.select(
+        host.alias("_h"),
+        F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, PREFIX_CAP)
+        .alias("_p"),
+    )
+    ext = pre.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_p").alias("_a"),
+        F.max("_p").alias("_b"),
+    )
+    tmpl = (
+        ext.withColumn("_tlen", group_lcp(F.col("_a"), F.col("_b")))
+        .filter(
+            (F.col("_n") >= MIN_DOCS)
+            & (F.col("_tlen") >= TEMPLATE_MIN_LEN)
+            # a FULL-cap LCP means the host's docs are identical as
+            # far as we looked — that is a mirror (host_diversity's
+            # signal, exact dedup's job), not a banner; the banner
+            # evidence is a prefix that visibly ENDS inside the cap
+            & (F.col("_tlen") < PREFIX_CAP)
+        )
+        .select(
+            "_h",
+            F.col("_a").substr(F.lit(1), F.col("_tlen").cast("int"))
+            .alias("_tmpl"),
+            "_tlen",
+        )
+    )
+    joined = df.withColumn("_h", host).join(F.broadcast(tmpl), "_h", "left")
+    has_tmpl = F.col("_tmpl").isNotNull() & F.col(text_col).startswith(
+        F.col("_tmpl")
+    )
+    return (
+        joined.withColumn(
+            "_template_removed",
+            F.when(has_tmpl, F.col("_tlen")).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            text_col,
+            F.when(
+                has_tmpl,
+                F.col(text_col).substr(
+                    (F.col("_tlen") + 1).cast("int"), F.length(text_col)
+                ),
+            ).otherwise(F.col(text_col)),
+        )
+        .drop("_h", "_tmpl", "_tlen")
+    )
+
+
 def quality_floor(df: DataFrame, text_col: str = "text_extracted") -> DataFrame:
-    """Stage 3: drop rows under the token-count / alpha-ratio floor
+    """Stage 4: drop rows under the token-count / alpha-ratio floor
     (pure codegen; same signal family as ops.textstats.quality)."""
     tok = tokens(F.col(text_col))
     n = F.size(tok)
@@ -79,7 +163,7 @@ def quality_floor(df: DataFrame, text_col: str = "text_extracted") -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text_extracted") -> DataFrame:
-    """Stage 4: one md5 shuffle; the keeper is the min url per digest
+    """Stage 5: one md5 shuffle; the keeper is the min url per digest
     (deterministic, resume-stable)."""
     keyed = df.withColumn("_md5", F.md5(F.col(text_col).cast("binary")))
     keepers = keyed.groupBy("_md5").agg(F.min("url").alias("_keep_url"))
@@ -89,7 +173,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text_extracted") -> DataFrame:
 
 
 def neardup_collapse(df: DataFrame, text_col: str = "text_extracted") -> DataFrame:
-    """Stage 5: banded MinHash-LSH collapse, keep the BEST-quality
+    """Stage 6: banded MinHash-LSH collapse, keep the BEST-quality
     member per bucket (FineWeb-style keep-best; ties break to min
     url), i.e. the dedup_canonical policy applied at the job layer.
 
@@ -163,7 +247,7 @@ def neardup_collapse(df: DataFrame, text_col: str = "text_extracted") -> DataFra
 def strip_repeated_spans(
     df: DataFrame, text_col: str = "text_extracted", id_col: str = "url"
 ) -> DataFrame:
-    """Stage 6: blank cross-document repeated spans (Lee et al.
+    """Stage 7: blank cross-document repeated spans (Lee et al.
     ACL'22 exact-substring dedup at the n-gram anchor —
     ops/substring.py documents the exactness argument) from EVERY
     carrier row.  Rows are transformed, never dropped; ``_n_tok`` is
@@ -252,7 +336,8 @@ def curate(extracted: DataFrame) -> tuple[DataFrame, list[dict]]:
     # structurally-spammy pages never reach the content stages.
     sA = stage("url_admitted", url_admission(s0))
     s1 = stage("decoded", sA.filter(F.col("decode_error").isNull()))
-    s2 = stage("quality", quality_floor(s1))
+    s1b = stage("template_strip", strip_host_templates(s1))
+    s2 = stage("quality", quality_floor(s1b))
     s3 = stage("exact_dedup", exact_dedup(s2))
     s4 = stage("near_dedup", neardup_collapse(s3))
     s5 = stage("span_dedup", strip_repeated_spans(s4))

@@ -64,6 +64,23 @@ def _banner_spark() -> F.Column:
 _BANNER_SQL = "'WELCOME TO ' || upper(source) || '.EXAMPLE.COM | HOME ABOUT CONTACT | '"
 
 
+def group_lcp(a: F.Column, b: F.Column) -> F.Column:
+    """LCP length of two strings as a Column — positional
+    first-mismatch over a generated index list (pure built-ins).
+    Combined with min/max aggregation this is the group LCP; also
+    consumed by jobs/curate.py's template-strip stage."""
+    n = F.least(F.length(a), F.length(b))
+    diffs = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: a.substr(i, F.lit(1)) != b.substr(i, F.lit(1)),
+    )
+    return (
+        F.when(n > 0, F.coalesce(F.array_min(diffs) - 1, n))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
 def host_template_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(host, n_docs, lcp_len, template_prefix, is_templated): longest
     common prefix of all documents on each host via the min/max-LCP
@@ -82,16 +99,7 @@ def host_template_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p").alias("a"),
         F.max("p").alias("b"),
     )
-    a, b = F.col("a"), F.col("b")
-    n = F.least(F.length(a), F.length(b))
-    diffs = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: a.substr(i, F.lit(1)) != b.substr(i, F.lit(1)),
-    )
-    lcp = F.when(n > 0, F.coalesce(F.array_min(diffs) - 1, n)).otherwise(
-        F.lit(0)
-    ).cast("long")
-    out = ext.withColumn("lcp_len", lcp)
+    out = ext.withColumn("lcp_len", group_lcp(F.col("a"), F.col("b")))
     return out.select(
         "host",
         "n_docs",

@@ -86,6 +86,9 @@ def test_curate_funnel(spark):
     assert stages["input"] == 8
     assert stages["url_admitted"] == 7   # ID-farm url dropped
     assert stages["decoded"] == 6        # broken dropped
+    # all fixture docs live on one host with immediately-diverging
+    # texts -> no shared banner -> transform stage, no drops, no strips
+    assert stages["template_strip"] == 6
     assert stages["quality"] == 5        # short dropped
     assert stages["exact_dedup"] == 4    # dup-b dropped
     assert stages["near_dedup"] == 3     # near-a dropped (keep-best)
@@ -98,6 +101,42 @@ def test_curate_funnel(spark):
         r["_tok_removed"] == 0
         for r in curated.select("_tok_removed").collect()
     )
+
+
+def test_template_strip_removes_host_banner_and_spares_mirrors(spark):
+    """Per-host banner LCP is stripped from every carrier; a host
+    whose docs are IDENTICAL up to the prefix cap is a mirror, not a
+    template, and must be left intact for dedup to collapse."""
+    from pdf_parser_spark.ops.template import PREFIX_CAP
+
+    from jobs.curate import strip_host_templates
+
+    banner = "WELCOME TO EXAMPLE.ORG | HOME ABOUT | "
+    body = " ".join(f"w{i}" for i in range(60))
+    mirror_text = "m " * (PREFIX_CAP)  # identical well past the cap
+    rows = [
+        ("https://example.org/a", banner + "alpha " + body),
+        ("https://example.org/b", banner + "beta " + body),
+        ("https://example.org/c", banner + "gamma " + body),
+        # mirror host: identical docs
+        ("https://mirror.net/x", mirror_text),
+        ("https://mirror.net/y", mirror_text),
+        # single-doc host: no cross-page evidence, untouched
+        ("https://solo.io/only", banner + "solo " + body),
+    ]
+    df = spark.createDataFrame(rows, "url string, text_extracted string")
+    out = {r.url: r.asDict() for r in strip_host_templates(df).collect()}
+
+    for u in ("https://example.org/a", "https://example.org/b",
+              "https://example.org/c"):
+        assert not out[u]["text_extracted"].startswith("WELCOME"), u
+        assert out[u]["_template_removed"] == len(banner)
+    assert out["https://example.org/a"]["text_extracted"].startswith("alpha ")
+    # mirror host: full-cap LCP -> guard refuses to strip
+    assert out["https://mirror.net/x"]["text_extracted"] == mirror_text
+    assert out["https://mirror.net/x"]["_template_removed"] == 0
+    # single-doc host untouched
+    assert out["https://solo.io/only"]["text_extracted"].startswith("WELCOME")
 
 
 def test_curate_strips_cross_document_repeated_span(spark):
