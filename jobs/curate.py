@@ -308,26 +308,28 @@ def strip_repeated_spans(
 def curate(extracted: DataFrame) -> tuple[DataFrame, list[dict]]:
     """Run the funnel; returns (curated DF, per-stage lineage rows).
 
-    Cache discipline: each stage needs only its own count and its
-    immediate successor, so stage N-1 is unpersisted as soon as stage
-    N has materialized — at most two stages are ever cached, bounding
-    executor cache pressure on a 100 TB input.  The raw input is
-    counted but never persisted (it is a plain scan both consumers
-    re-read at parquet speed).  persist() is the MEMORY_AND_DISK
-    default, so eviction of the final stage's blocks degrades to a
-    disk read, never a full-funnel recompute — and the caller writes
-    the curated frame immediately after this returns."""
+    Stage boundaries CHECKPOINT, not just cache: localCheckpoint
+    materializes the stage (MEMORY_AND_DISK blocks, same residency as
+    persist) AND truncates the logical plan.  Truncation is
+    load-bearing — the self-joining stages each reference their input
+    more than once (template strip ×2, exact dedup ×2, the band
+    collapse ×8, span strip ×2), so an unbroken lineage compounds the
+    PLAN multiplicatively: by the last stage the AQE plan *string*
+    alone (explainString under onUpdatePlan) ran the driver heap out
+    of memory — the plan, not the data, was the memory hog.  Earlier
+    stages' blocks are released by the ContextCleaner as their frames
+    go out of scope; a production run swaps in reliable checkpointing
+    (spark.checkpoint.dir) at the same boundaries, which additionally
+    survives executor loss.  The raw input is counted but never
+    materialized (a plain scan both consumers re-read at parquet
+    speed); the caller writes the curated frame immediately after
+    this returns."""
     funnel: list[dict] = []
-    prev: list[DataFrame] = []
 
     def stage(name: str, frame: DataFrame, persist: bool = True) -> DataFrame:
         if persist:
-            frame = frame.persist()
+            frame = frame.localCheckpoint(eager=True)
         funnel.append({"stage": name, "rows": frame.count()})
-        if persist:
-            if prev:
-                prev[0].unpersist()
-            prev[:] = [frame]
         return frame
 
     s0 = stage("input", extracted, persist=False)
