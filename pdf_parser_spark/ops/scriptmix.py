@@ -105,11 +105,15 @@ def text_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long")
     )
     # mixed: any NON-dominant class holds >= MIXED_MIN_PPM of letters
+    # exclude the DOMINANT CLASS BY NAME, not by count value: a doc
+    # with exactly tied top classes (50/50 Latin/CJK) is maximally
+    # mixed, and a value-equality exclusion would zero BOTH and
+    # report it unmixed
     second = None
     for name, _, _ in SCRIPT_CLASSES:
-        share_wo_best = F.when(counts[name] == best_n, F.lit(0).cast("long")).otherwise(
-            counts[name]
-        )
+        share_wo_best = F.when(
+            F.lit(name) == best, F.lit(0).cast("long")
+        ).otherwise(counts[name])
         second = share_wo_best if second is None else F.greatest(second, share_wo_best)
     mixed = F.when(
         total > 0, (second * 1_000_000 / total).cast("long") >= MIXED_MIN_PPM
@@ -154,10 +158,12 @@ def _script_detect_sql() -> str:
         )
     dominant = "CASE " + " ".join(arms) + " END"
     best_n = f"greatest({', '.join(cnt[n] for n in names)})"
+    # exclude the dominant class by NAME (ties stay mixed — see the
+    # Spark-side comment)
     second = (
         "greatest("
         + ", ".join(
-            f"(CASE WHEN {cnt[n]} = {best_n} THEN 0 ELSE {cnt[n]} END)"
+            f"(CASE WHEN '{n}' = ({dominant}) THEN 0 ELSE {cnt[n]} END)"
             for n in names
         )
         + ")"

@@ -77,11 +77,24 @@ def test_dominant_and_mixed_match_python(rows):
         total = r["n_letters"]
         assert r["dominant_ppm"] == counts[best] * 1_000_000 // total
         second = max(
-            (counts[n] for n in order if counts[n] != counts[best]), default=0
+            (counts[n] for n in order if n != best), default=0
         )
         assert r["mixed_script"] == (
             second * 1_000_000 // total >= MIXED_MIN_PPM
         )
+
+
+def test_exact_tie_counts_as_mixed(spark, tmp_path):
+    """A 50/50 Latin/Cyrillic doc is maximally mixed; the dominant
+    class must be excluded from the second-share computation BY NAME,
+    not by count value, or the tie zeroes both."""
+    rows = [(0, "abc абв")]  # 3 Latin letters, 3 Cyrillic letters
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = text_script_detect(spark, str(tmp_path)).collect()[0]
+    assert r["n_latin"] == 3 and r["n_cyrillic"] == 3
+    assert r["dominant_script"] == "latin"  # priority order breaks ties
+    assert r["mixed_script"]
 
 
 def test_snippet_slots_profile_as_expected(rows):
