@@ -29,8 +29,10 @@ over it —
 and writes a training-ready parquet table bucketed-ready on url.
 
 Every stage is a DataFrame transform on one DAG: Spark pipelines the
-narrow stages into the scans, and the only wide ops are the two dedup
-shuffles (md5 keys; band keys).  The funnel report makes the job
+narrow stages into the scans, and the wide ops are the two dedup
+shuffles (md5 keys; band keys) plus the host-grained template
+aggregate (200-char prefixes only — bodies never shuffle).  The
+funnel report makes the job
 auditable at 100 TB: each stage's survivor count is one groupBy away,
 computed on the SAME cached stage outputs that feed the next stage, so
 audit and data cannot drift.
